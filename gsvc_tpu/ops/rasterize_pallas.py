@@ -1,0 +1,400 @@
+"""Pallas TPU kernels for the differentiable sum-rasterizer.
+
+TPU-native replacement for the reference CUDA hot kernels
+`rasterize_forward_sum` (gsplat/gsplat/cuda/csrc/forward.cu:512-627) and
+`rasterize_backward_sum_kernel` (backward.cu:696-862).
+
+Design (see SURVEY.md §7.1):
+- The render is an order-independent accumulation, so each tile needs only
+  its *member* splats, already grouped contiguously by the CSR binning
+  (ops/binning.py). Per-splat data is gathered once into intersection order
+  and stored param-major (`data_s[16, I_pad]`, one row per packed channel:
+  x, y, c1, c2, c3, opac, r, g, b). Each tile's working set is a contiguous
+  lane range; the kernel DMAs 128-lane-aligned windows covering it from HBM
+  into VMEM — the TPU analog of the CUDA kernel's cooperative shared-memory
+  staging (forward.cu:561-586). Window alignment satisfies Mosaic's
+  lane-tiling constraint without padding the CSR itself; out-of-bin lanes
+  are masked.
+- Geometry: one grid step per 16x16 tile. Each 128-splat window evaluates
+  against all 256 tile pixels as [256, 128] VPU ops (pixels on sublanes,
+  splats on lanes); color accumulation and the backward v_alpha/v_rgb terms
+  are MXU matmuls against the [3, 256] channel block.
+- Backward is atomics-free (vs. backward.cu:843-858's atomicAdd): each tile
+  accumulates per-intersection partial grads into the shared [16, I_pad]
+  grad buffer with read-modify-write window DMAs (safe: the TPU grid is
+  sequential and windows only overlap between adjacent tiles, where the
+  writer's out-of-bin lanes are zero). A segment_sum over gaussian ids then
+  reduces intersection grads to per-splat grads outside the kernel.
+  Deterministic by construction.
+- The per-tile cap (first 256 binned splats, forward.cu:613) falls out of
+  clamping the processed lane count.
+
+Numerics match the reference: sigma/alpha in f32, alpha = min(1, opac*vis)
+with the min applied forward-only in the VJP (backward.cu:824-837), cutoff
+sigma >= 0 and alpha >= 1/255 gating both passes (forward.cu:600,
+backward.cu:802-805). The off-diagonal conic grad is emitted *unhalved*
+(unlike backward.cu:834) because it composes with plain autodiff through
+conic = inv(cov) rather than the reference's symmetrized VJP
+(helpers.cuh:71-82); the end-to-end parameter gradients are identical.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gsvc_tpu.ops.binning import BinnedSplats
+from gsvc_tpu.ops.rasterize_dense import ALPHA_CUTOFF
+
+WINDOW = 128  # splat lanes per DMA window (lane-tiling aligned)
+DATA_ROWS = 16  # packed channels: x, y, c1, c2, c3, opac, r, g, b, pad...
+
+# Run kernels in the Pallas interpreter (for CPU tests). Toggled by tests.
+INTERPRET = False
+
+
+def _zero_cotangent(x):
+    if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_:
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return jnp.zeros_like(x)
+
+
+def _pack_intersections(
+    binned: BinnedSplats,
+    xys: jax.Array,
+    conics: jax.Array,
+    colors: jax.Array,
+    opacity: jax.Array,
+    cap: int,
+) -> jax.Array:
+    """Gather per-splat params into sorted intersection order, [16, I_pad].
+
+    Row layout: 0:x 1:y 2:c1 3:c2 4:c3 5:opac 6:r 7:g 8:b (rest zero).
+    Sentinel ids (== N) gather a zero row, whose opac=0 keeps it below the
+    alpha cutoff. Lanes are padded so the last tile's aligned windows stay
+    in bounds.
+    """
+    ids = binned.sorted_gauss_ids
+    zrow = lambda a: jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)])
+    rows = jnp.concatenate(
+        [
+            zrow(xys)[ids],
+            zrow(conics)[ids],
+            zrow(opacity.reshape(-1, 1))[ids],
+            zrow(colors)[ids],
+        ],
+        axis=1,
+    )  # [I, 9]
+    pad_lanes = cap + 2 * WINDOW
+    rows = jnp.pad(rows, ((0, pad_lanes), (0, DATA_ROWS - rows.shape[1])))
+    return rows.T  # [16, I_pad]
+
+
+def _tile_pixel_coords(t, tb_x, block_w, block_h):
+    pix = block_w * block_h
+    tile_x = (t % tb_x).astype(jnp.float32)
+    tile_y = (t // tb_x).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    px = tile_x * block_w + (p % block_w).astype(jnp.float32)  # [pix, 1]
+    py = tile_y * block_h + (p // block_w).astype(jnp.float32)
+    return px, py
+
+
+def _window_geometry(starts_ref, counts_ref, t, cap):
+    start = starts_ref[t]
+    count = jnp.minimum(counts_ref[t], cap)
+    wstart = (start // WINDOW) * WINDOW
+    nwin = (start - wstart + count + WINDOW - 1) // WINDOW
+    return start, count, wstart, nwin
+
+
+def _load_window(data_ref, buf, sem, wstart, c):
+    dma = pltpu.make_async_copy(
+        data_ref.at[:, pl.ds(pl.multiple_of(wstart + c * WINDOW, WINDOW), WINDOW)],
+        buf,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+
+def _eval_window(buf, px, py, start, count, wstart, c):
+    """Common forward math for one [16, WINDOW] splat window.
+
+    Returns per-(pixel, splat) arrays shaped [pix, WINDOW] plus the packed
+    per-splat parameter rows ([1, WINDOW] each).
+    """
+    gx = buf[0:1, :]
+    gy = buf[1:2, :]
+    c1 = buf[2:3, :]
+    c2 = buf[3:4, :]
+    c3 = buf[4:5, :]
+    opac = buf[5:6, :]
+    dx = gx - px  # [pix, WINDOW]
+    dy = gy - py
+    sigma = 0.5 * (c1 * dx * dx + c3 * dy * dy) + c2 * dx * dy
+    vis = jnp.exp(-sigma)
+    alpha_u = opac * vis
+    alpha = jnp.minimum(1.0, alpha_u)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+    idx = wstart + c * WINDOW + lane
+    in_bin = (idx >= start) & (idx < start + count)
+    valid = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF) & in_bin
+    return dx, dy, c1, c2, c3, opac, vis, alpha_u, alpha, valid
+
+
+def _forward_kernel(
+    starts_ref, counts_ref,  # scalar prefetch [T]
+    data_ref,  # [16, I_pad] HBM
+    out_ref,  # [1, 8, pix] VMEM block
+    buf, sem,  # scratch
+    *, tb_x: int, block_w: int, block_h: int, cap: int,
+):
+    t = pl.program_id(0)
+    start, count, wstart, nwin = _window_geometry(starts_ref, counts_ref, t, cap)
+    px, py = _tile_pixel_coords(t, tb_x, block_w, block_h)
+    pix = block_w * block_h
+
+    def body(c, acc):
+        _load_window(data_ref, buf, sem, wstart, c)
+        d = buf[...]
+        (_dx, _dy, _c1, _c2, _c3, _opac, _vis, _au, alpha, valid) = _eval_window(
+            d, px, py, start, count, wstart, c
+        )
+        w = jnp.where(valid, alpha, 0.0)  # [pix, WINDOW]
+        rgb = d[6:9, :]  # [3, WINDOW]
+        # acc[c, p] += sum_k rgb[c, k] * w[p, k]  (MXU)
+        return acc + jax.lax.dot_general(
+            rgb, w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(0, nwin, body, jnp.zeros((3, pix), jnp.float32))
+    out_ref[0, 0:3, :] = acc
+    out_ref[0, 3:8, :] = jnp.zeros((5, pix), jnp.float32)
+
+
+def _backward_kernel(
+    starts_ref, counts_ref,
+    data_ref,  # [16, I_pad] HBM
+    vout_ref,  # [1, 8, pix] VMEM block: d(loss)/d(out) for this tile
+    zeros_ref,  # [16, I_pad] HBM — aliased with vdata_ref (same buffer)
+    vdata_ref,  # [16, I_pad] HBM (accumulated via RMW; starts as zeros)
+    buf, gbuf, sem, gsem,
+    *, tb_x: int, block_w: int, block_h: int, cap: int,
+):
+    del zeros_ref
+    t = pl.program_id(0)
+    start, count, wstart, nwin = _window_geometry(starts_ref, counts_ref, t, cap)
+    px, py = _tile_pixel_coords(t, tb_x, block_w, block_h)
+    v_out = vout_ref[0, 0:3, :]  # [3, pix]
+
+    def body(c, _):
+        _load_window(data_ref, buf, sem, wstart, c)
+        d = buf[...]
+        (dx, dy, c1, c2, c3, _opac, vis, alpha_u, alpha, valid) = _eval_window(
+            d, px, py, start, count, wstart, c
+        )
+        rgb = d[6:9, :]
+        # v_alpha[p, k] = sum_c rgb[c, k] * v_out[c, p]  (backward.cu:826-829)
+        v_alpha = jax.lax.dot_general(
+            v_out, rgb,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [pix, WINDOW]
+        v_alpha = jnp.where(valid, v_alpha, 0.0)
+        v_sigma = -alpha_u * v_alpha  # min(1,.) clamp is forward-only
+        vs_dx = v_sigma * dx
+        vs_dy = v_sigma * dy
+        v_c1 = 0.5 * jnp.sum(vs_dx * dx, axis=0, keepdims=True)  # [1, WINDOW]
+        v_c2 = jnp.sum(vs_dx * dy, axis=0, keepdims=True)
+        v_c3 = 0.5 * jnp.sum(vs_dy * dy, axis=0, keepdims=True)
+        v_x = jnp.sum(c1 * vs_dx + c2 * vs_dy, axis=0, keepdims=True)
+        v_y = jnp.sum(c2 * vs_dx + c3 * vs_dy, axis=0, keepdims=True)
+        v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)
+        w = jnp.where(valid, alpha, 0.0)
+        # v_rgb[c, k] = sum_p v_out[c, p] * w[p, k]  (MXU)
+        v_rgb = jax.lax.dot_general(
+            v_out, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3, WINDOW]
+        pad = jnp.zeros((DATA_ROWS - 9, WINDOW), jnp.float32)
+        grads = jnp.concatenate(
+            [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_rgb, pad], axis=0
+        )  # [16, WINDOW]
+        # read-modify-write accumulate into the shared grad buffer: this
+        # window may also hold neighboring tiles' lanes (ours are zero there)
+        rmw = pltpu.make_async_copy(
+            vdata_ref.at[:, pl.ds(pl.multiple_of(wstart + c * WINDOW, WINDOW), WINDOW)],
+            gbuf, gsem,
+        )
+        rmw.start()
+        rmw.wait()
+        gbuf[...] += grads
+        wb = pltpu.make_async_copy(
+            gbuf,
+            vdata_ref.at[:, pl.ds(pl.multiple_of(wstart + c * WINDOW, WINDOW), WINDOW)],
+            gsem,
+        )
+        wb.start()
+        wb.wait()
+        return ()
+
+    jax.lax.fori_loop(0, nwin, body, ())
+
+
+def _tiles_to_image(out_tiles, img_height, img_width, tb_x, tb_y, block_w, block_h):
+    img = out_tiles[:, 0:3, :].reshape(tb_y, tb_x, 3, block_h, block_w)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, tb_y * block_h, tb_x * block_w)
+    return img[:, :img_height, :img_width].transpose(1, 2, 0)
+
+
+def _image_to_vtiles(g, tb_x, tb_y, block_w, block_h):
+    h_pad = tb_y * block_h - g.shape[0]
+    w_pad = tb_x * block_w - g.shape[1]
+    gp = jnp.pad(g, ((0, h_pad), (0, w_pad), (0, 0))).transpose(2, 0, 1)
+    gp = gp.reshape(3, tb_y, block_h, tb_x, block_w).transpose(1, 3, 0, 2, 4)
+    gp = gp.reshape(tb_y * tb_x, 3, block_h * block_w)
+    return jnp.pad(gp, ((0, 0), (0, 5), (0, 0)))  # channel pad 3 -> 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def rasterize_pallas(
+    binned: BinnedSplats,
+    xys: jax.Array,
+    conics: jax.Array,
+    colors: jax.Array,
+    opacity: jax.Array,
+    img_height: int,
+    img_width: int,
+    tile_bounds: Tuple[int, int, int],
+    block_w: int = 16,
+    block_h: int = 16,
+    cap: int = 256,
+) -> jax.Array:
+    """Render [H, W, 3] with the Pallas TPU kernel. Differentiable w.r.t.
+    xys, conics, colors, opacity (reference backward semantics)."""
+    out, _ = _forward_impl(
+        binned, xys, conics, colors, opacity,
+        img_height, img_width, tile_bounds, block_w, block_h, cap,
+    )
+    return out
+
+
+def _forward_impl(
+    binned, xys, conics, colors, opacity,
+    img_height, img_width, tile_bounds, block_w, block_h, cap,
+):
+    tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
+    num_tiles = tb_x * tb_y
+    pix = block_w * block_h
+    data_s = _pack_intersections(binned, xys, conics, colors, opacity, cap)
+
+    kernel = functools.partial(
+        _forward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h, cap=cap
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, 8, pix), lambda t, starts, counts: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((DATA_ROWS, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, pix), jnp.float32),
+        interpret=INTERPRET,
+    )(binned.tile_bin_start, binned.tile_counts, data_s)
+    img = _tiles_to_image(
+        out_tiles, img_height, img_width, tb_x, tb_y, block_w, block_h
+    )
+    return img, data_s
+
+
+def _rasterize_fwd(
+    binned, xys, conics, colors, opacity,
+    img_height, img_width, tile_bounds, block_w, block_h, cap,
+):
+    img, data_s = _forward_impl(
+        binned, xys, conics, colors, opacity,
+        img_height, img_width, tile_bounds, block_w, block_h, cap,
+    )
+    return img, (binned, data_s, xys.shape[0])
+
+
+def _rasterize_bwd(
+    img_height, img_width, tile_bounds, block_w, block_h, cap,
+    residuals, g,
+):
+    binned, data_s, n = residuals
+    tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
+    num_tiles = tb_x * tb_y
+    pix = block_w * block_h
+    vtiles = _image_to_vtiles(g, tb_x, tb_y, block_w, block_h)
+
+    kernel = functools.partial(
+        _backward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h, cap=cap
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(
+                (1, 8, pix), lambda t, starts, counts: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((DATA_ROWS, WINDOW), jnp.float32),
+            pltpu.VMEM((DATA_ROWS, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    vdata = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(data_s.shape, jnp.float32),
+        input_output_aliases={4: 0},  # zeros input (incl. scalar-prefetch idx) -> output
+        interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        binned.tile_bin_start, binned.tile_counts, data_s, vtiles,
+        jnp.zeros_like(data_s),
+    )
+
+    # Reduce per-intersection grads to per-splat grads. Lanes beyond each
+    # tile's cap were never touched (zeros from the aliased init), so no
+    # masking is needed beyond the sentinel gaussian id.
+    i_real = binned.sorted_gauss_ids.shape[0]
+    vrows = vdata.T[:i_real]  # [I, 16]
+    seg = jax.ops.segment_sum(
+        vrows, binned.sorted_gauss_ids, num_segments=n + 1
+    )[:n]
+    v_xys = seg[:, 0:2]
+    v_conics = seg[:, 2:5]
+    v_opacity = seg[:, 5:6]
+    v_colors = seg[:, 6:9]
+    zero_binned = jax.tree.map(_zero_cotangent, binned)
+    return (zero_binned, v_xys, v_conics, v_colors, v_opacity)
+
+
+rasterize_pallas.defvjp(_rasterize_fwd, _rasterize_bwd)

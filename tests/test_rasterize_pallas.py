@@ -1,0 +1,90 @@
+"""Pallas kernel vs oracle tests (interpreter mode on CPU).
+
+The same kernels run compiled on TPU; these tests validate the kernel logic
+against the dense oracle and the binned-XLA path using the Pallas
+interpreter, so no TPU is needed (SURVEY.md §4 rebuild strategy).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gsvc_tpu.ops.rasterize_pallas as rp
+from gsvc_tpu.ops.projection import project_gaussians_2d
+from gsvc_tpu.ops.rasterize import rasterize_gaussians_sum
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    rp.INTERPRET = True
+    yield
+    rp.INTERPRET = False
+
+
+def _scene(n, seed=0, opacity_max=1.0):
+    rng = np.random.default_rng(seed)
+    means = rng.uniform(-1.1, 1.1, (n, 2)).astype(np.float32)
+    L = (rng.uniform(0, 1, (n, 3)) + np.array([0.5, 0.0, 0.5])).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacity = rng.uniform(0.2, opacity_max, (n, 1)).astype(np.float32)
+    return means, L, colors, opacity
+
+
+def _render(backend, H, W, m, l, c, o):
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+
+    def f(m, l, c, o):
+        xys, d, radii, conics, nth = project_gaussians_2d(m, l, H, W, tb)
+        return rasterize_gaussians_sum(
+            xys, d, radii, conics, nth, c, o, H, W, backend=backend
+        )
+
+    return jax.jit(f)(m, l, c, o)
+
+
+@pytest.mark.parametrize("hw", [(32, 48), (37, 51)])
+def test_pallas_forward_matches_binned(hw):
+    H, W = hw
+    means, L, colors, opacity = _scene(150, seed=2)
+    img_p = _render("pallas", H, W, means, L, colors, opacity)
+    img_b = _render("binned", H, W, means, L, colors, opacity)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_b), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_gradients_match_binned():
+    H, W = 32, 32
+    means, L, colors, opacity = _scene(80, seed=4)
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    target = jnp.full((H, W, 3), 0.4)
+
+    def loss(backend, m, l, c, o):
+        xys, d, radii, conics, nth = project_gaussians_2d(m, l, H, W, tb)
+        img = rasterize_gaussians_sum(
+            xys, d, radii, conics, nth, c, o, H, W, backend=backend
+        )
+        return jnp.mean((img - target) ** 2)
+
+    args = tuple(map(jnp.asarray, (means, L, colors, opacity)))
+    g_p = jax.jit(jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3)))(*args)
+    g_b = jax.jit(jax.grad(lambda *a: loss("binned", *a), argnums=(0, 1, 2, 3)))(*args)
+    for gp, gb, name in zip(g_p, g_b, ["means", "L", "colors", "opacity"]):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gb), rtol=1e-3, atol=1e-6, err_msg=name
+        )
+
+
+def test_pallas_tile_cap():
+    H = W = 16
+    n = 300
+    means = np.zeros((n, 2), np.float32)
+    L = np.tile(np.array([[1.0, 0.0, 1.0]], np.float32), (n, 1))
+    colors = np.ones((n, 3), np.float32) / n
+    opacity = np.ones((n, 1), np.float32)
+    img_p = _render("pallas", H, W, means, L, colors, opacity)
+    img_b = _render("binned", H, W, means, L, colors, opacity)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_b), rtol=1e-5, atol=1e-5
+    )
