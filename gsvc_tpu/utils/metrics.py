@@ -117,12 +117,21 @@ def ms_ssim(
     win_sigma: float = 1.5,
     size_average: bool = True,
 ) -> jax.Array:
-    """Multi-scale SSIM over NCHW images (pytorch_msssim-compatible)."""
+    """Multi-scale SSIM over NCHW images (pytorch_msssim-compatible).
+
+    pytorch_msssim *asserts* min side > (win_size-1)*2^4; instead of
+    erroring we drop scales until the smallest one still fits the window
+    (weights renormalized), so tiny test images get a sane value.
+    """
     x = pred.astype(jnp.float32)
     y = target.astype(jnp.float32)
     win = _gaussian_window(win_size, win_sigma)
-    weights = jnp.asarray(MS_SSIM_WEIGHTS, jnp.float32)
-    levels = weights.shape[0]
+    min_side = min(pred.shape[-2], pred.shape[-1])
+    levels = len(MS_SSIM_WEIGHTS)
+    while levels > 1 and (min_side >> (levels - 1)) < win_size:
+        levels -= 1
+    weights = jnp.asarray(MS_SSIM_WEIGHTS[:levels], jnp.float32)
+    weights = weights / jnp.sum(weights)
     mcs = []
     ssim_pc = None
     for lvl in range(levels):
