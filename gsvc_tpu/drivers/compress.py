@@ -1,0 +1,174 @@
+"""Compression-stage training driver.
+
+TPU port of reference `train_video_Compress.py`: loads the representation
+checkpoint, runs quantization-aware fine-tuning per frame (frame model for
+K-frames, delta model for P-frames), measures bpp with ANS entropy coding,
+writes train.txt and the quantized checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsvc_tpu.config import FrameConfig
+from gsvc_tpu.io import generate_video, process_yuv_video
+from gsvc_tpu.models.compress import (
+    fit_compress,
+    forward_quantize,
+    init_compress_state,
+    measure_bits,
+)
+from gsvc_tpu.utils.logwriter import LogWriter
+from gsvc_tpu.utils.metrics import ms_ssim
+
+
+def load_gmodels(path: str) -> dict:
+    """Load the representation checkpoint written by drivers/represent.py
+    ({'frame_{n}/_xyz': ...} npz) into {frame_n: gmodel_dict}."""
+    data = np.load(path)
+    out = {}
+    for key in data.files:
+        frame, name = key.split("/", 1)
+        out.setdefault(frame, {})[name] = data[key]
+    return out
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="GSVC-TPU compression training")
+    p.add_argument("-d", "--dataset", type=str, required=True)
+    p.add_argument("--data_name", type=str, default="video")
+    p.add_argument("--model_name", type=str, default="GaussianVideo")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--savdir", type=str, default="result")
+    p.add_argument("--savdir_m", type=str, default="models")
+    p.add_argument("--fps", type=int, default=120)
+    p.add_argument("--image_length", type=int, default=50)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--iterations", type=int, default=30000)
+    p.add_argument("--sh_degree", type=int, default=3)
+    p.add_argument("--num_points", type=int, default=4000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--loss_type", type=str, default="L2")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--save_imgs", action="store_true")
+    p.add_argument("--save_everyimgs", action="store_true")
+    p.add_argument("--removal_rate", type=float, default=0.1)
+    p.add_argument("--is_rm", action="store_true")
+    p.add_argument("--backend", type=str, default="auto")
+    p.add_argument("--checkpoint_dir", type=str, default="./checkpoints_quant")
+    p.add_argument("--k_frames_dir", type=str, default="./checkpoints")
+    return p.parse_args(argv)
+
+
+def main(argv):
+    args = parse_args(argv)
+    base = Path(args.checkpoint_dir)
+    run_name = f"{args.model_name}_{args.iterations}_{args.num_points}"
+    out_dir = base / args.savdir / args.data_name / run_name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    model_dir = base / args.savdir_m / args.data_name / run_name
+    model_dir.mkdir(parents=True, exist_ok=True)
+    logwriter = LogWriter(out_dir)
+
+    video_frames = process_yuv_video(
+        args.dataset, args.width, args.height, limit=args.image_length
+    )
+    image_length = min(args.image_length, len(video_frames))
+    gmodels = load_gmodels(args.model_path)
+
+    kfile = Path(args.k_frames_dir) / args.savdir / args.data_name / "K_frames.txt"
+    if kfile.exists():
+        k_frames = [int(x) for x in kfile.read_text().split()]
+    else:
+        k_frames = [1]
+
+    psnrs, msims, bpps, t_train, t_eval, fpses = [], [], [], [], [], []
+    out_state = {}
+    img_list = []
+    for i in range(image_length):
+        frame_num = i + 1
+        gt = jnp.asarray(video_frames[i].astype(np.float32) / 255.0)
+        H, W = gt.shape[0], gt.shape[1]
+        gmodel = gmodels[f"frame_{frame_num}"]
+        p_gmodel = (
+            None if frame_num in k_frames else gmodels[f"frame_{i}"]
+        )
+        cfg = FrameConfig(
+            H=H, W=W,
+            num_points=gmodel["_xyz"].shape[0],
+            max_num_points=gmodel["_xyz"].shape[0],
+            iterations=args.iterations, lr=args.lr,
+            loss_type=args.loss_type, backend=args.backend,
+        )
+        key = jax.random.key(args.seed * 100003 + frame_num)
+        state = init_compress_state(key, gmodel, p_gmodel)
+        t0 = time.time()
+        state = fit_compress(state, gt, cfg)
+        jax.block_until_ready(state.params.xyz)
+        train_time = time.time() - t0
+
+        bits, img = measure_bits(state, cfg)
+        mse = float(jnp.mean((img - gt) ** 2))
+        psnr = 10 * math.log10(1.0 / mse)
+        mss = float(
+            ms_ssim(img.transpose(2, 0, 1)[None], gt.transpose(2, 0, 1)[None])
+        )
+        # eval fps loop (train_video_Compress.py:104-109)
+        fq = jax.jit(
+            lambda p, vq: forward_quantize(
+                p, vq, state.p_xyz, state.p_cholesky, state.p_features_dc,
+                jax.random.key(0), cfg, training=False,
+            )[0]
+        )
+        out = fq(state.params, state.vq)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(100):
+            out = fq(state.params, state.vq)
+        jax.block_until_ready(out)
+        eval_time = (time.time() - t0) / 100
+
+        img_list.append(np.asarray(img * 255).astype(np.uint8))
+        psnrs.append(psnr)
+        msims.append(mss)
+        bpps.append(bits["bpp"])
+        t_train.append(train_time)
+        t_eval.append(eval_time)
+        fpses.append(1.0 / eval_time)
+        for k in ("xyz", "cholesky", "features_dc"):
+            out_state[f"frame_{frame_num}/_{k}"] = np.asarray(
+                getattr(state.params, k)
+            )
+        logwriter.write(
+            "Frame_{}: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, bpp:{:.4f}, "
+            "Training:{:.4f}s, Eval:{:.8f}s, FPS:{:.4f}".format(
+                frame_num, H, W, psnr, mss, bits["bpp"], train_time,
+                eval_time, 1.0 / eval_time,
+            )
+        )
+
+    np.savez(model_dir / "gmodels_state_dict.npz", **out_state)
+    logwriter.write(
+        "Average: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, Bpp:{:.4f}, "
+        "Training:{:.4f}s, Eval:{:.8f}s, FPS:{:.4f}".format(
+            args.height, args.width, float(np.mean(psnrs)),
+            float(np.mean(msims)), float(np.mean(bpps)),
+            float(np.mean(t_train)), float(np.mean(t_eval)),
+            float(np.mean(fpses)),
+        )
+    )
+    generate_video(out_dir, img_list, args.fps, origin=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
