@@ -51,6 +51,7 @@ def rasterize_gaussians_sum(
     return_alpha: bool = False,
     backend: str = "auto",
     max_intersects: Optional[int] = None,
+    tile_rows=None,
 ):
     """Differentiable accumulation rasterizer. Returns [H, W, C] (+alpha).
 
@@ -81,6 +82,8 @@ def rasterize_gaussians_sum(
         backend = "pallas" if _on_tpu() else "binned"
 
     if backend == "dense":
+        if tile_rows is not None:
+            raise ValueError("tile_rows unsupported for the dense oracle")
         from gsvc_tpu.ops.rasterize_dense import rasterize_gaussians_sum_dense
 
         img = rasterize_gaussians_sum_dense(
@@ -100,6 +103,7 @@ def rasterize_gaussians_sum(
             img = rasterize_pallas(
                 binned, xys, conics, colors, opacity,
                 img_height, img_width, tile_bounds, BLOCK_W, BLOCK_H, TILE_CAP,
+                tile_rows,
             )
         elif backend == "binned":
             from gsvc_tpu.ops.rasterize_binned import rasterize_binned
@@ -107,6 +111,7 @@ def rasterize_gaussians_sum(
             img = rasterize_binned(
                 binned, xys, conics, colors, opacity,
                 img_height, img_width, tile_bounds, BLOCK_W, BLOCK_H, TILE_CAP,
+                tile_rows=tile_rows,
             )
         else:
             raise ValueError(f"unknown backend {backend!r}")

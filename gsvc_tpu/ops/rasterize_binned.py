@@ -39,16 +39,29 @@ def rasterize_binned(
     block_h: int = 16,
     cap: int = 256,
     tile_chunk: int = 64,
+    tile_rows=None,
 ) -> jax.Array:
     """Render [H, W, C] from binned splats.
 
     tile_chunk bounds peak memory: each step materializes
     [tile_chunk, cap, block_h*block_w] floats.
+
+    tile_rows: optional (row_offset, num_rows) — rasterize only tile rows
+    [row_offset, row_offset + num_rows) of the global grid in GLOBAL pixel
+    coordinates (for image-sharded multi-chip rendering; binning stays
+    global so results are bit-identical to the unsharded render).
+    row_offset may be traced (e.g. from axis_index); num_rows is static.
     """
     n = xys.shape[0]
     c_dim = colors.shape[-1]
     tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
-    num_tiles = tb_x * tb_y
+    if tile_rows is None:
+        row0, out_rows = jnp.int32(0), tb_y
+    else:
+        row0 = jnp.asarray(tile_rows[0], jnp.int32)
+        out_rows = int(tile_rows[1])
+    tile0 = row0 * tb_x
+    num_tiles = tb_x * out_rows
     num_chunks = (num_tiles + tile_chunk - 1) // tile_chunk
     padded_tiles = num_chunks * tile_chunk
     pix = block_h * block_w
@@ -56,8 +69,10 @@ def rasterize_binned(
 
     # Per-(tile, slot) gaussian ids; dead slots point at a zero row (index n).
     k_range = jnp.arange(cap, dtype=jnp.int32)
-    start = jnp.pad(binned.tile_bin_start, (0, padded_tiles - num_tiles))
-    counts = jnp.pad(binned.tile_counts, (0, padded_tiles - num_tiles))
+    def _local(a):
+        return jax.lax.dynamic_slice_in_dim(a, tile0, num_tiles)
+    start = jnp.pad(_local(binned.tile_bin_start), (0, padded_tiles - num_tiles))
+    counts = jnp.pad(_local(binned.tile_counts), (0, padded_tiles - num_tiles))
     idx_tk = jnp.minimum(
         start[:, None] + k_range[None, :], binned.sorted_gauss_ids.shape[0] - 1
     )
@@ -73,7 +88,8 @@ def rasterize_binned(
     # Pixel coordinates of each tile in a chunk, flattened [pix].
     local_y = jnp.repeat(jnp.arange(block_h, dtype=dtype), block_w)
     local_x = jnp.tile(jnp.arange(block_w, dtype=dtype), block_h)
-    tile_ids_all = jnp.arange(padded_tiles, dtype=jnp.int32)
+    # GLOBAL tile ids so pixel coordinates match the unsharded render
+    tile_ids_all = jnp.arange(padded_tiles, dtype=jnp.int32) + tile0
 
     def render_chunk(chunk_idx):
         t0 = chunk_idx * tile_chunk
@@ -108,11 +124,13 @@ def rasterize_binned(
         return out
 
     chunks = jax.lax.map(render_chunk, jnp.arange(num_chunks))
-    # [num_chunks, tile_chunk, pix, C] -> [tb_y, tb_x, bh, bw, C] -> [H, W, C]
+    # [num_chunks, tile_chunk, pix, C] -> [rows, tb_x, bh, bw, C] -> [h, W, C]
     tiles = chunks.reshape(padded_tiles, block_h, block_w, c_dim)[:num_tiles]
     img = (
-        tiles.reshape(tb_y, tb_x, block_h, block_w, c_dim)
+        tiles.reshape(out_rows, tb_x, block_h, block_w, c_dim)
         .transpose(0, 2, 1, 3, 4)
-        .reshape(tb_y * block_h, tb_x * block_w, c_dim)
+        .reshape(out_rows * block_h, tb_x * block_w, c_dim)
     )
-    return img[:img_height, :img_width]
+    if tile_rows is None:
+        return img[:img_height, :img_width]
+    return img[:, :img_width]

@@ -150,13 +150,13 @@ def _eval_window(buf, px, py, start, count, wstart, c):
 
 
 def _forward_kernel(
-    starts_ref, counts_ref,  # scalar prefetch [T]
+    tile0_ref, starts_ref, counts_ref,  # scalar prefetch [1], [T], [T]
     data_ref,  # [16, I_pad] HBM
     out_ref,  # [1, 8, pix] VMEM block
     buf, sem,  # scratch
     *, tb_x: int, block_w: int, block_h: int, cap: int,
 ):
-    t = pl.program_id(0)
+    t = pl.program_id(0) + tile0_ref[0]
     start, count, wstart, nwin = _window_geometry(starts_ref, counts_ref, t, cap)
     px, py = _tile_pixel_coords(t, tb_x, block_w, block_h)
     pix = block_w * block_h
@@ -182,7 +182,7 @@ def _forward_kernel(
 
 
 def _backward_kernel(
-    starts_ref, counts_ref,
+    tile0_ref, starts_ref, counts_ref,
     data_ref,  # [16, I_pad] HBM
     vout_ref,  # [1, 8, pix] VMEM block: d(loss)/d(out) for this tile
     zeros_ref,  # [16, I_pad] HBM — aliased with vdata_ref (same buffer)
@@ -191,7 +191,7 @@ def _backward_kernel(
     *, tb_x: int, block_w: int, block_h: int, cap: int,
 ):
     del zeros_ref
-    t = pl.program_id(0)
+    t = pl.program_id(0) + tile0_ref[0]
     start, count, wstart, nwin = _window_geometry(starts_ref, counts_ref, t, cap)
     px, py = _tile_pixel_coords(t, tb_x, block_w, block_h)
     v_out = vout_ref[0, 0:3, :]  # [3, pix]
@@ -266,7 +266,6 @@ def _image_to_vtiles(g, tb_x, tb_y, block_w, block_h):
     return jnp.pad(gp, ((0, 0), (0, 5), (0, 0)))  # channel pad 3 -> 8
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def rasterize_pallas(
     binned: BinnedSplats,
     xys: jax.Array,
@@ -279,34 +278,55 @@ def rasterize_pallas(
     block_w: int = 16,
     block_h: int = 16,
     cap: int = 256,
+    tile_rows=None,
 ) -> jax.Array:
     """Render [H, W, 3] with the Pallas TPU kernel. Differentiable w.r.t.
-    xys, conics, colors, opacity (reference backward semantics)."""
+    xys, conics, colors, opacity (reference backward semantics).
+
+    tile_rows: optional (row_offset (traced ok), num_rows (static)) — render
+    only that tile-row span in global coordinates (image sharding)."""
+    tb_y = int(tile_bounds[1])
+    if tile_rows is None:
+        row0, num_rows = jnp.int32(0), tb_y
+    else:
+        row0, num_rows = jnp.asarray(tile_rows[0], jnp.int32), int(tile_rows[1])
+    return _rasterize_pallas_vjp(
+        binned, xys, conics, colors, opacity, row0,
+        img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _rasterize_pallas_vjp(
+    binned, xys, conics, colors, opacity, row0,
+    img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
+):
     out, _ = _forward_impl(
-        binned, xys, conics, colors, opacity,
-        img_height, img_width, tile_bounds, block_w, block_h, cap,
+        binned, xys, conics, colors, opacity, row0,
+        img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
     )
     return out
 
 
 def _forward_impl(
-    binned, xys, conics, colors, opacity,
-    img_height, img_width, tile_bounds, block_w, block_h, cap,
+    binned, xys, conics, colors, opacity, row0,
+    img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
 ):
     tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
-    num_tiles = tb_x * tb_y
+    num_tiles = tb_x * num_rows
     pix = block_w * block_h
     data_s = _pack_intersections(binned, xys, conics, colors, opacity, cap)
+    tile0 = (row0 * tb_x).reshape(1).astype(jnp.int32)
 
     kernel = functools.partial(
         _forward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h, cap=cap
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(
-            (1, 8, pix), lambda t, starts, counts: (t, 0, 0),
+            (1, 8, pix), lambda t, tile0, starts, counts: (t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -319,44 +339,46 @@ def _forward_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, pix), jnp.float32),
         interpret=INTERPRET,
-    )(binned.tile_bin_start, binned.tile_counts, data_s)
+    )(tile0, binned.tile_bin_start, binned.tile_counts, data_s)
+    out_h = num_rows * block_h if num_rows != tb_y else img_height
     img = _tiles_to_image(
-        out_tiles, img_height, img_width, tb_x, tb_y, block_w, block_h
+        out_tiles, out_h, img_width, tb_x, num_rows, block_w, block_h
     )
     return img, data_s
 
 
 def _rasterize_fwd(
-    binned, xys, conics, colors, opacity,
-    img_height, img_width, tile_bounds, block_w, block_h, cap,
+    binned, xys, conics, colors, opacity, row0,
+    img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
 ):
     img, data_s = _forward_impl(
-        binned, xys, conics, colors, opacity,
-        img_height, img_width, tile_bounds, block_w, block_h, cap,
+        binned, xys, conics, colors, opacity, row0,
+        img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
     )
-    return img, (binned, data_s, xys.shape[0])
+    return img, (binned, data_s, xys.shape[0], row0)
 
 
 def _rasterize_bwd(
-    img_height, img_width, tile_bounds, block_w, block_h, cap,
+    img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
     residuals, g,
 ):
-    binned, data_s, n = residuals
+    binned, data_s, n, row0 = residuals
     tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
-    num_tiles = tb_x * tb_y
+    num_tiles = tb_x * num_rows
     pix = block_w * block_h
-    vtiles = _image_to_vtiles(g, tb_x, tb_y, block_w, block_h)
+    tile0 = (row0 * tb_x).reshape(1).astype(jnp.int32)
+    vtiles = _image_to_vtiles(g, tb_x, num_rows, block_w, block_h)
 
     kernel = functools.partial(
         _backward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h, cap=cap
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(
-                (1, 8, pix), lambda t, starts, counts: (t, 0, 0),
+                (1, 8, pix), lambda t, tile0, starts, counts: (t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -373,11 +395,11 @@ def _rasterize_bwd(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(data_s.shape, jnp.float32),
-        input_output_aliases={4: 0},  # zeros input (incl. scalar-prefetch idx) -> output
+        input_output_aliases={5: 0},  # zeros input (incl. scalar-prefetch idx) -> output
         interpret=INTERPRET,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        binned.tile_bin_start, binned.tile_counts, data_s, vtiles,
+        tile0, binned.tile_bin_start, binned.tile_counts, data_s, vtiles,
         jnp.zeros_like(data_s),
     )
 
@@ -394,7 +416,8 @@ def _rasterize_bwd(
     v_opacity = seg[:, 5:6]
     v_colors = seg[:, 6:9]
     zero_binned = jax.tree.map(_zero_cotangent, binned)
-    return (zero_binned, v_xys, v_conics, v_colors, v_opacity)
+    return (zero_binned, v_xys, v_conics, v_colors, v_opacity,
+            _zero_cotangent(row0))
 
 
-rasterize_pallas.defvjp(_rasterize_fwd, _rasterize_bwd)
+_rasterize_pallas_vjp.defvjp(_rasterize_fwd, _rasterize_bwd)
