@@ -61,13 +61,17 @@ def main():
         return jnp.clip(img, 0.0, 1.0)
 
     render = jax.jit(forward)
+    means, L = jnp.asarray(means), jnp.asarray(L)
+    colors, opacity = jnp.asarray(colors), jnp.asarray(opacity)
     img = render(means, L, colors, opacity)
     jax.block_until_ready(img)
 
+    # Block every call: async dispatch on tunneled backends makes
+    # block-at-end-of-loop measurements unreliable.
     t0 = time.perf_counter()
     for _ in range(args.iters):
         img = render(means, L, colors, opacity)
-    jax.block_until_ready(img)
+        jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / args.iters
     fps = 1.0 / dt
 
@@ -91,7 +95,7 @@ def main():
     steps = max(args.iters // 2, 10)
     for _ in range(steps):
         params, state, loss = train_step(params, state)
-    jax.block_until_ready(params)
+        jax.block_until_ready(loss)
     dt_train = (time.perf_counter() - t0) / steps
 
     n_isect = int(

@@ -119,7 +119,8 @@ def rasterize_binned(
         w = jnp.where(contrib, alpha, 0.0)  # [tc, cap, pix]
         # color accumulation as a batched matmul: [tc, C, cap] x [tc, cap, pix]
         out = jnp.einsum(
-            "tkc,tkp->tpc", gcl, w, preferred_element_type=dtype
+            "tkc,tkp->tpc", gcl, w, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [tc, pix, C]
         return out
 

@@ -110,7 +110,9 @@ def rasterize_gaussians_sum_dense(
     alpha = _min1_forward_only(opacity.reshape(-1)[None, None, :] * vis)
     contrib = member & (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF)
     w = jnp.where(contrib, alpha, 0.0)
-    img = jnp.einsum("hwn,nc->hwc", w, colors)
+    img = jnp.einsum(
+        "hwn,nc->hwc", w, colors, precision=jax.lax.Precision.HIGHEST
+    )
     return img
 
 

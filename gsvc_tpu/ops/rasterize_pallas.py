@@ -124,29 +124,57 @@ def _load_window(data_ref, buf, sem, wstart, c):
     dma.wait()
 
 
-def _eval_window(buf, px, py, start, count, wstart, c):
-    """Common forward math for one [16, WINDOW] splat window.
+def _pixel_features(block_w: int, block_h: int):
+    """A[pix, 6] = [px^2, py^2, px*py, px, py, 1] in tile-LOCAL coordinates.
 
-    Returns per-(pixel, splat) arrays shaped [pix, WINDOW] plus the packed
-    per-splat parameter rows ([1, WINDOW] each).
+    Tile-local coords keep every A*B product O(sigma)-bounded, so the f32
+    matmul loses no precision to cancellation (global pixel coords would
+    put ~1e4-magnitude intermediate terms against an O(1) result).
     """
-    gx = buf[0:1, :]
-    gy = buf[1:2, :]
+    pix = block_w * block_h
+    p = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
+    px = (p % block_w).astype(jnp.float32)
+    py = (p // block_w).astype(jnp.float32)
+    one = jnp.ones((pix, 1), jnp.float32)
+    return jnp.concatenate([px * px, py * py, px * py, px, py, one], axis=1)
+
+
+def _splat_features(buf, ox, oy):
+    """B[6, WINDOW]: per-splat quadratic coefficients in tile-local coords.
+
+    sigma[p, k] = A[p] . B[k] with A from `_pixel_features`:
+      sigma = 0.5*c1*(gx-px)^2 + 0.5*c3*(gy-py)^2 + c2*(gx-px)*(gy-py)
+    expanded around the tile origin (ox, oy). Turns the per-pixel-per-splat
+    quadratic into one MXU matmul instead of ~10 VPU ops on [pix, WINDOW].
+    """
+    gx = buf[0:1, :] - ox
+    gy = buf[1:2, :] - oy
     c1 = buf[2:3, :]
     c2 = buf[3:4, :]
     c3 = buf[4:5, :]
-    opac = buf[5:6, :]
-    dx = gx - px  # [pix, WINDOW]
-    dy = gy - py
-    sigma = 0.5 * (c1 * dx * dx + c3 * dy * dy) + c2 * dx * dy
-    vis = jnp.exp(-sigma)
-    alpha_u = opac * vis
-    alpha = jnp.minimum(1.0, alpha_u)
+    b3 = -(c1 * gx + c2 * gy)
+    b4 = -(c3 * gy + c2 * gx)
+    b5 = -0.5 * (b3 * gx + b4 * gy)  # = 0.5*c1*gx^2 + 0.5*c3*gy^2 + c2*gx*gy
+    return gx, gy, c1, c2, c3, jnp.concatenate(
+        [0.5 * c1, 0.5 * c3, c2, b3, b4, b5], axis=0
+    )
+
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32, precision=_HIGHEST,
+    )
+
+
+def _window_mask(sigma, alpha, start, count, wstart, c):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
     idx = wstart + c * WINDOW + lane
     in_bin = (idx >= start) & (idx < start + count)
-    valid = (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF) & in_bin
-    return dx, dy, c1, c2, c3, opac, vis, alpha_u, alpha, valid
+    return (sigma >= 0.0) & (alpha >= ALPHA_CUTOFF) & in_bin
 
 
 def _forward_kernel(
@@ -158,23 +186,22 @@ def _forward_kernel(
 ):
     t = pl.program_id(0) + tile0_ref[0]
     start, count, wstart, nwin = _window_geometry(starts_ref, counts_ref, t, cap)
-    px, py = _tile_pixel_coords(t, tb_x, block_w, block_h)
+    ox = ((t % tb_x) * block_w).astype(jnp.float32)
+    oy = ((t // tb_x) * block_h).astype(jnp.float32)
     pix = block_w * block_h
+    A = _pixel_features(block_w, block_h)  # [pix, 6]
 
     def body(c, acc):
         _load_window(data_ref, buf, sem, wstart, c)
         d = buf[...]
-        (_dx, _dy, _c1, _c2, _c3, _opac, _vis, _au, alpha, valid) = _eval_window(
-            d, px, py, start, count, wstart, c
-        )
+        _gx, _gy, _c1, _c2, _c3, B = _splat_features(d, ox, oy)
+        sigma = _dot(A, B, ((1,), (0,)))  # [pix, WINDOW] MXU
+        alpha = jnp.minimum(1.0, d[5:6, :] * jnp.exp(-sigma))
+        valid = _window_mask(sigma, alpha, start, count, wstart, c)
         w = jnp.where(valid, alpha, 0.0)  # [pix, WINDOW]
         rgb = d[6:9, :]  # [3, WINDOW]
         # acc[c, p] += sum_k rgb[c, k] * w[p, k]  (MXU)
-        return acc + jax.lax.dot_general(
-            rgb, w,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        return acc + _dot(rgb, w, ((1,), (1,)))
 
     acc = jax.lax.fori_loop(0, nwin, body, jnp.zeros((3, pix), jnp.float32))
     out_ref[0, 0:3, :] = acc
@@ -193,39 +220,40 @@ def _backward_kernel(
     del zeros_ref
     t = pl.program_id(0) + tile0_ref[0]
     start, count, wstart, nwin = _window_geometry(starts_ref, counts_ref, t, cap)
-    px, py = _tile_pixel_coords(t, tb_x, block_w, block_h)
+    ox = ((t % tb_x) * block_w).astype(jnp.float32)
+    oy = ((t // tb_x) * block_h).astype(jnp.float32)
+    A = _pixel_features(block_w, block_h)  # [pix, 6]
     v_out = vout_ref[0, 0:3, :]  # [3, pix]
 
     def body(c, _):
         _load_window(data_ref, buf, sem, wstart, c)
         d = buf[...]
-        (dx, dy, c1, c2, c3, _opac, vis, alpha_u, alpha, valid) = _eval_window(
-            d, px, py, start, count, wstart, c
-        )
+        gx, gy, c1, c2, c3, B = _splat_features(d, ox, oy)
+        sigma = _dot(A, B, ((1,), (0,)))  # [pix, WINDOW] MXU
+        vis = jnp.exp(-sigma)
+        alpha_u = d[5:6, :] * vis
+        alpha = jnp.minimum(1.0, alpha_u)
+        valid = _window_mask(sigma, alpha, start, count, wstart, c)
         rgb = d[6:9, :]
         # v_alpha[p, k] = sum_c rgb[c, k] * v_out[c, p]  (backward.cu:826-829)
-        v_alpha = jax.lax.dot_general(
-            v_out, rgb,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        v_alpha = jnp.where(
+            valid, _dot(v_out, rgb, ((0,), (0,))), 0.0
         )  # [pix, WINDOW]
-        v_alpha = jnp.where(valid, v_alpha, 0.0)
         v_sigma = -alpha_u * v_alpha  # min(1,.) clamp is forward-only
-        vs_dx = v_sigma * dx
-        vs_dy = v_sigma * dy
-        v_c1 = 0.5 * jnp.sum(vs_dx * dx, axis=0, keepdims=True)  # [1, WINDOW]
-        v_c2 = jnp.sum(vs_dx * dy, axis=0, keepdims=True)
-        v_c3 = 0.5 * jnp.sum(vs_dy * dy, axis=0, keepdims=True)
-        v_x = jnp.sum(c1 * vs_dx + c2 * vs_dy, axis=0, keepdims=True)
-        v_y = jnp.sum(c2 * vs_dx + c3 * vs_dy, axis=0, keepdims=True)
+        # v_B[j, k] = sum_p A[p, j] * v_sigma[p, k]  (MXU), then chain back
+        # to the raw per-splat params elementwise on [1, WINDOW].
+        vB = _dot(A, v_sigma, ((0,), (0,)))  # [6, WINDOW]
+        vB0, vB1, vB2 = vB[0:1, :], vB[1:2, :], vB[2:3, :]
+        vB3, vB4, vB5 = vB[3:4, :], vB[4:5, :], vB[5:6, :]
+        v_c1 = 0.5 * (vB0 + gx * (gx * vB5 - 2.0 * vB3))
+        v_c3 = 0.5 * (vB1 + gy * (gy * vB5 - 2.0 * vB4))
+        v_c2 = vB2 - gy * vB3 - gx * vB4 + gx * gy * vB5
+        v_x = -c1 * vB3 - c2 * vB4 + (c1 * gx + c2 * gy) * vB5
+        v_y = -c2 * vB3 - c3 * vB4 + (c3 * gy + c2 * gx) * vB5
         v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)
         w = jnp.where(valid, alpha, 0.0)
         # v_rgb[c, k] = sum_p v_out[c, p] * w[p, k]  (MXU)
-        v_rgb = jax.lax.dot_general(
-            v_out, w,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [3, WINDOW]
+        v_rgb = _dot(v_out, w, ((1,), (0,)))  # [3, WINDOW]
         pad = jnp.zeros((DATA_ROWS - 9, WINDOW), jnp.float32)
         grads = jnp.concatenate(
             [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_rgb, pad], axis=0

@@ -42,11 +42,13 @@ def _filter2d_separable(x: jax.Array, win: jax.Array) -> jax.Array:
     win_h = win.reshape(1, 1, k, 1).astype(x.dtype)
     win_w = win.reshape(1, 1, 1, k).astype(x.dtype)
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, k, 1), ("NCHW", "OIHW", "NCHW"))
+    hp = jax.lax.Precision.HIGHEST
     y = jax.lax.conv_general_dilated(
-        x.reshape(n * c, 1, h, w), win_h, (1, 1), "VALID", dimension_numbers=dn
+        x.reshape(n * c, 1, h, w), win_h, (1, 1), "VALID",
+        dimension_numbers=dn, precision=hp,
     )
     y = jax.lax.conv_general_dilated(
-        y, win_w, (1, 1), "VALID", dimension_numbers=dn
+        y, win_w, (1, 1), "VALID", dimension_numbers=dn, precision=hp,
     )
     return y.reshape(n, c, y.shape[-2], y.shape[-1])
 

@@ -50,7 +50,7 @@ def test_pallas_forward_matches_binned(hw):
     img_p = _render("pallas", H, W, means, L, colors, opacity)
     img_b = _render("binned", H, W, means, L, colors, opacity)
     np.testing.assert_allclose(
-        np.asarray(img_p), np.asarray(img_b), rtol=1e-5, atol=1e-5
+        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=2e-5
     )
 
 
@@ -72,7 +72,7 @@ def test_pallas_gradients_match_binned():
     g_b = jax.jit(jax.grad(lambda *a: loss("binned", *a), argnums=(0, 1, 2, 3)))(*args)
     for gp, gb, name in zip(g_p, g_b, ["means", "L", "colors", "opacity"]):
         np.testing.assert_allclose(
-            np.asarray(gp), np.asarray(gb), rtol=1e-3, atol=1e-6, err_msg=name
+            np.asarray(gp), np.asarray(gb), rtol=1e-3, atol=1e-5, err_msg=name
         )
 
 
@@ -86,5 +86,5 @@ def test_pallas_tile_cap():
     img_p = _render("pallas", H, W, means, L, colors, opacity)
     img_b = _render("binned", H, W, means, L, colors, opacity)
     np.testing.assert_allclose(
-        np.asarray(img_p), np.asarray(img_b), rtol=1e-5, atol=1e-5
+        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=2e-5
     )
