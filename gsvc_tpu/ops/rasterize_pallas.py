@@ -19,13 +19,20 @@ Design (see SURVEY.md §7.1):
   against all 256 tile pixels as [256, 128] VPU ops (pixels on sublanes,
   splats on lanes); color accumulation and the backward v_alpha/v_rgb terms
   are MXU matmuls against the [3, 256] channel block.
-- Backward is atomics-free (vs. backward.cu:843-858's atomicAdd): each tile
-  accumulates per-intersection partial grads into the shared [16, I_pad]
-  grad buffer with read-modify-write window DMAs (safe: the TPU grid is
-  sequential and windows only overlap between adjacent tiles, where the
-  writer's out-of-bin lanes are zero). A segment_sum over gaussian ids then
+- Backward is atomics-free (vs. backward.cu:843-858's atomicAdd) and also
+  DMA-wait-free: the grid iterates over (tile, window) *jobs* — one job per
+  128-lane window a tile's bin touches, built host-free from the CSR by
+  vector ops (`_build_jobs`). Job tables are scalar-prefetched and drive the
+  Block index maps, so the splat-data window, the tile's image-gradient
+  block, and the output-gradient window are all block-pipelined by Pallas.
+  Jobs hitting the same output window are consecutive (bins are sorted by
+  tile), so window grads accumulate in VMEM via output-block revisiting and
+  are written back exactly once. A segment_sum over gaussian ids then
   reduces intersection grads to per-splat grads outside the kernel.
-  Deterministic by construction.
+  Deterministic by construction. (A first version instead did blocking
+  read-modify-write DMAs per tile, which cost ~3 us of DMA latency per tile
+  — 24 ms at 1080p vs 0.1 ms forward; the job grid removes every in-kernel
+  DMA wait.)
 - The per-tile cap (first 256 binned splats, forward.cu:613) falls out of
   clamping the processed lane count.
 
@@ -208,75 +215,106 @@ def _forward_kernel(
     out_ref[0, 3:8, :] = jnp.zeros((5, pix), jnp.float32)
 
 
+def _build_jobs(starts, counts, cap: int, n_windows: int, num_jobs: int):
+    """Expand the local CSR into a static job table, one job per (tile,
+    128-lane window) incidence, ordered by tile (=> windows nondecreasing).
+
+    All vector ops, no host sync. Padded jobs (j >= total) get count 0 and a
+    window clamped into the sentinel tail, so they accumulate nothing.
+
+    Returns int32 arrays [num_jobs]: tile (local index), window, first (1 on
+    the first job of each distinct window), jstart, jcount (global lane range
+    of the owning tile's bin, cap applied).
+    """
+    t_local = starts.shape[0]
+    count_c = jnp.minimum(counts, cap)
+    has = count_c > 0
+    ws = starts // WINDOW
+    we = (starts + count_c - 1) // WINDOW
+    njobs = jnp.where(has, we - ws + 1, 0)
+    off = jnp.cumsum(njobs) - njobs  # exclusive job offset per tile
+    total = jnp.sum(njobs)
+
+    j = jnp.arange(num_jobs, dtype=jnp.int32)
+    tid = jnp.arange(t_local, dtype=jnp.int32)
+    # scatter each tile's index at its first job slot, forward-fill (cummax)
+    seed = (
+        jnp.full(num_jobs, -1, jnp.int32)
+        .at[jnp.where(has, off, num_jobs)]
+        .max(tid, mode="drop")
+    )
+    tile = jax.lax.cummax(seed)
+    joff = jax.lax.cummax(jnp.where(seed >= 0, j, -1))
+    tile_safe = jnp.maximum(tile, 0)
+    live = (j < total) & (tile >= 0)
+    window = jnp.clip(ws[tile_safe] + (j - joff), 0, n_windows - 1)
+    first = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (window[1:] != window[:-1]).astype(jnp.int32)]
+    )
+    jstart = starts[tile_safe]
+    jcount = jnp.where(live, count_c[tile_safe], 0)
+    return tile_safe, window, first, jstart, jcount
+
+
 def _backward_kernel(
-    tile0_ref, starts_ref, counts_ref,
-    data_ref,  # [16, I_pad] HBM
-    vout_ref,  # [1, 8, pix] VMEM block: d(loss)/d(out) for this tile
-    zeros_ref,  # [16, I_pad] HBM — aliased with vdata_ref (same buffer)
-    vdata_ref,  # [16, I_pad] HBM (accumulated via RMW; starts as zeros)
-    buf, gbuf, sem, gsem,
+    tile0_ref, tileof_ref, windowof_ref, first_ref, jstart_ref, jcount_ref,
+    data_ref,  # [16, WINDOW] block: splat data of this job's window
+    vout_ref,  # [1, 8, pix] block: d(loss)/d(out) of this job's tile
+    zeros_ref,  # aliased zero-init of the output (unvisited windows stay 0)
+    vdata_ref,  # [16, WINDOW] block: grads of this window (revisit-accumulated)
     *, tb_x: int, block_w: int, block_h: int, cap: int,
 ):
     del zeros_ref
-    t = pl.program_id(0) + tile0_ref[0]
-    start, count, wstart, nwin = _window_geometry(starts_ref, counts_ref, t, cap)
+    j = pl.program_id(0)
+    t = tileof_ref[j] + tile0_ref[0]
+    start, count = jstart_ref[j], jcount_ref[j]
+    wstart = windowof_ref[j] * WINDOW
     ox = ((t % tb_x) * block_w).astype(jnp.float32)
     oy = ((t // tb_x) * block_h).astype(jnp.float32)
     A = _pixel_features(block_w, block_h)  # [pix, 6]
     v_out = vout_ref[0, 0:3, :]  # [3, pix]
 
-    def body(c, _):
-        _load_window(data_ref, buf, sem, wstart, c)
-        d = buf[...]
-        gx, gy, c1, c2, c3, B = _splat_features(d, ox, oy)
-        sigma = _dot(A, B, ((1,), (0,)))  # [pix, WINDOW] MXU
-        vis = jnp.exp(-sigma)
-        alpha_u = d[5:6, :] * vis
-        alpha = jnp.minimum(1.0, alpha_u)
-        valid = _window_mask(sigma, alpha, start, count, wstart, c)
-        rgb = d[6:9, :]
-        # v_alpha[p, k] = sum_c rgb[c, k] * v_out[c, p]  (backward.cu:826-829)
-        v_alpha = jnp.where(
-            valid, _dot(v_out, rgb, ((0,), (0,))), 0.0
-        )  # [pix, WINDOW]
-        v_sigma = -alpha_u * v_alpha  # min(1,.) clamp is forward-only
-        # v_B[j, k] = sum_p A[p, j] * v_sigma[p, k]  (MXU), then chain back
-        # to the raw per-splat params elementwise on [1, WINDOW].
-        vB = _dot(A, v_sigma, ((0,), (0,)))  # [6, WINDOW]
-        vB0, vB1, vB2 = vB[0:1, :], vB[1:2, :], vB[2:3, :]
-        vB3, vB4, vB5 = vB[3:4, :], vB[4:5, :], vB[5:6, :]
-        v_c1 = 0.5 * (vB0 + gx * (gx * vB5 - 2.0 * vB3))
-        v_c3 = 0.5 * (vB1 + gy * (gy * vB5 - 2.0 * vB4))
-        v_c2 = vB2 - gy * vB3 - gx * vB4 + gx * gy * vB5
-        v_x = -c1 * vB3 - c2 * vB4 + (c1 * gx + c2 * gy) * vB5
-        v_y = -c2 * vB3 - c3 * vB4 + (c3 * gy + c2 * gx) * vB5
-        v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)
-        w = jnp.where(valid, alpha, 0.0)
-        # v_rgb[c, k] = sum_p v_out[c, p] * w[p, k]  (MXU)
-        v_rgb = _dot(v_out, w, ((1,), (0,)))  # [3, WINDOW]
-        pad = jnp.zeros((DATA_ROWS - 9, WINDOW), jnp.float32)
-        grads = jnp.concatenate(
-            [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_rgb, pad], axis=0
-        )  # [16, WINDOW]
-        # read-modify-write accumulate into the shared grad buffer: this
-        # window may also hold neighboring tiles' lanes (ours are zero there)
-        rmw = pltpu.make_async_copy(
-            vdata_ref.at[:, pl.ds(pl.multiple_of(wstart + c * WINDOW, WINDOW), WINDOW)],
-            gbuf, gsem,
-        )
-        rmw.start()
-        rmw.wait()
-        gbuf[...] += grads
-        wb = pltpu.make_async_copy(
-            gbuf,
-            vdata_ref.at[:, pl.ds(pl.multiple_of(wstart + c * WINDOW, WINDOW), WINDOW)],
-            gsem,
-        )
-        wb.start()
-        wb.wait()
-        return ()
+    d = data_ref[...]
+    gx, gy, c1, c2, c3, B = _splat_features(d, ox, oy)
+    sigma = _dot(A, B, ((1,), (0,)))  # [pix, WINDOW] MXU
+    vis = jnp.exp(-sigma)
+    alpha_u = d[5:6, :] * vis
+    alpha = jnp.minimum(1.0, alpha_u)
+    valid = _window_mask(sigma, alpha, start, count, wstart, 0)
+    rgb = d[6:9, :]
+    # v_alpha[p, k] = sum_c rgb[c, k] * v_out[c, p]  (backward.cu:826-829)
+    v_alpha = jnp.where(
+        valid, _dot(v_out, rgb, ((0,), (0,))), 0.0
+    )  # [pix, WINDOW]
+    v_sigma = -alpha_u * v_alpha  # min(1,.) clamp is forward-only
+    # v_B[j, k] = sum_p A[p, j] * v_sigma[p, k]  (MXU), then chain back
+    # to the raw per-splat params elementwise on [1, WINDOW].
+    vB = _dot(A, v_sigma, ((0,), (0,)))  # [6, WINDOW]
+    vB0, vB1, vB2 = vB[0:1, :], vB[1:2, :], vB[2:3, :]
+    vB3, vB4, vB5 = vB[3:4, :], vB[4:5, :], vB[5:6, :]
+    v_c1 = 0.5 * (vB0 + gx * (gx * vB5 - 2.0 * vB3))
+    v_c3 = 0.5 * (vB1 + gy * (gy * vB5 - 2.0 * vB4))
+    v_c2 = vB2 - gy * vB3 - gx * vB4 + gx * gy * vB5
+    v_x = -c1 * vB3 - c2 * vB4 + (c1 * gx + c2 * gy) * vB5
+    v_y = -c2 * vB3 - c3 * vB4 + (c3 * gy + c2 * gx) * vB5
+    v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)
+    w = jnp.where(valid, alpha, 0.0)
+    # v_rgb[c, k] = sum_p v_out[c, p] * w[p, k]  (MXU)
+    v_rgb = _dot(v_out, w, ((1,), (0,)))  # [3, WINDOW]
+    pad = jnp.zeros((DATA_ROWS - 9, WINDOW), jnp.float32)
+    grads = jnp.concatenate(
+        [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_rgb, pad], axis=0
+    )  # [16, WINDOW]
 
-    jax.lax.fori_loop(0, nwin, body, ())
+    # Jobs sharing a window are consecutive: the first initializes the VMEM
+    # block, the rest accumulate; Pallas writes it back once on index change.
+    @pl.when(first_ref[j] == 1)
+    def _init():
+        vdata_ref[...] = grads
+
+    @pl.when(first_ref[j] == 0)
+    def _acc():
+        vdata_ref[...] += grads
 
 
 def _tiles_to_image(out_tiles, img_height, img_width, tb_x, tb_y, block_w, block_h):
@@ -394,41 +432,62 @@ def _rasterize_bwd(
     tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
     num_tiles = tb_x * num_rows
     pix = block_w * block_h
-    tile0 = (row0 * tb_x).reshape(1).astype(jnp.int32)
+    tile0_scalar = (row0 * tb_x).astype(jnp.int32)
+    tile0 = tile0_scalar.reshape(1)
     vtiles = _image_to_vtiles(g, tb_x, num_rows, block_w, block_h)
+
+    n_windows = data_s.shape[1] // WINDOW
+    num_jobs = num_tiles + n_windows  # static bound on (tile, window) pairs
+    starts_local = jax.lax.dynamic_slice(
+        binned.tile_bin_start, (tile0_scalar,), (num_tiles,)
+    )
+    counts_local = jax.lax.dynamic_slice(
+        binned.tile_counts, (tile0_scalar,), (num_tiles,)
+    )
+    tileof, windowof, first, jstart, jcount = _build_jobs(
+        starts_local, counts_local, cap, n_windows, num_jobs
+    )
 
     kernel = functools.partial(
         _backward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h, cap=cap
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        num_scalar_prefetch=6,
+        grid=(num_jobs,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(
-                (1, 8, pix), lambda t, tile0, starts, counts: (t, 0, 0),
-                memory_space=pltpu.VMEM,
+                (DATA_ROWS, WINDOW),
+                lambda j, tile0, tileof, windowof, first, jstart, jcount: (
+                    0, windowof[j],
+                ),
+                memory_space=pltpu.MemorySpace.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, pix),
+                lambda j, tile0, tileof, windowof, first, jstart, jcount: (
+                    tileof[j], 0, 0,
+                ),
+                memory_space=pltpu.MemorySpace.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((DATA_ROWS, WINDOW), jnp.float32),
-            pltpu.VMEM((DATA_ROWS, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_specs=pl.BlockSpec(
+            (DATA_ROWS, WINDOW),
+            lambda j, tile0, tileof, windowof, first, jstart, jcount: (
+                0, windowof[j],
+            ),
+            memory_space=pltpu.MemorySpace.VMEM,
+        ),
     )
     vdata = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(data_s.shape, jnp.float32),
-        input_output_aliases={5: 0},  # zeros input (incl. scalar-prefetch idx) -> output
+        input_output_aliases={8: 0},  # zeros input (after 6 prefetch + 2) -> out
         interpret=INTERPRET,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        tile0, binned.tile_bin_start, binned.tile_counts, data_s, vtiles,
-        jnp.zeros_like(data_s),
+        tile0, tileof, windowof, first, jstart, jcount,
+        data_s, vtiles, jnp.zeros_like(data_s),
     )
 
     # Reduce per-intersection grads to per-splat grads. Lanes beyond each
