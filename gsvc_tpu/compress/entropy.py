@@ -108,10 +108,55 @@ def _decode(words: np.ndarray, pmf_q: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _encode_native(message: np.ndarray, pmf_q: np.ndarray):
+    """C++ rANS encode (gsvc_tpu/native/rans.cpp); None if unavailable."""
+    from gsvc_tpu.native import rans_lib
+
+    lib = rans_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    msg = np.ascontiguousarray(message, np.int32)
+    pmf = np.ascontiguousarray(pmf_q, np.int64)
+    cap = msg.size + 16  # worst case ~1 word/symbol for a 2^16-quantized pmf
+    out = np.empty(cap, np.uint32)
+    n = lib.rans_encode(
+        msg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), msg.size,
+        pmf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), pmf.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap,
+    )
+    if n == 0:
+        return None
+    return out[:n].copy()
+
+
+def _decode_native(words: np.ndarray, pmf_q: np.ndarray, n: int):
+    from gsvc_tpu.native import rans_lib
+
+    lib = rans_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    w = np.ascontiguousarray(words, np.uint32)
+    pmf = np.ascontiguousarray(pmf_q, np.int64)
+    out = np.empty(n, np.int32)
+    rc = lib.rans_decode(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), w.size,
+        pmf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), pmf.size,
+        n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
 def compress_matrix_flatten_categorical(matrix):
     """Flat int sequence -> (compressed uint32 words, counts, unique values).
 
-    API-compatible with reference quantize.py:152-168.
+    API-compatible with reference quantize.py:152-168. Uses the native C++
+    codec when built; the numpy path is the fallback and oracle.
     """
     arr = np.asarray(matrix).flatten()
     unique, inverse, counts = np.unique(
@@ -120,7 +165,9 @@ def compress_matrix_flatten_categorical(matrix):
     unique = unique.astype(judge_type(unique.min(), unique.max()))
     message = inverse.astype(np.int32)
     pmf_q = _quantize_pmf(counts)
-    compressed = _encode(message, pmf_q)
+    compressed = _encode_native(message, pmf_q)
+    if compressed is None:
+        compressed = _encode(message, pmf_q)
     return compressed, counts, unique
 
 
@@ -130,5 +177,8 @@ def decompress_matrix_flatten_categorical(
     """Inverse of compress_matrix_flatten_categorical
     (reference quantize.py:170-180)."""
     pmf_q = _quantize_pmf(np.asarray(unique_counts))
-    decoded = _decode(np.asarray(compressed, np.uint32), pmf_q, symbol_length)
+    words = np.asarray(compressed, np.uint32)
+    decoded = _decode_native(words, pmf_q, symbol_length)
+    if decoded is None:
+        decoded = _decode(words, pmf_q, symbol_length)
     return np.asarray(quant_symbol)[decoded].reshape(symbol_shape)
