@@ -1,16 +1,23 @@
 #!/usr/bin/env python
 """Benchmark: 1080p render fps per chip (the reference's headline number).
 
-Mirrors the reference measurement: mean of `--iters` no-grad forward renders
-of a trained-size splat model at 1920x1080 (train_video_Represent.py:101-106,
-eval_fps = 1/avg_time; README.md:19 claims 1500 fps on GPU).
+Mirrors the reference measurement: mean per-frame time of `--iters` no-grad
+forward renders of a trained-size splat model at 1920x1080
+(train_video_Represent.py:101-106, eval_fps = 1/avg_time; README.md:19
+claims 1500 fps on GPU). The forward here is the FULL model forward —
+projection, tile binning, and the Pallas rasterizer — not just the kernel.
 
-The forward here is the FULL model forward — projection, tile binning
-(sort + CSR), and the Pallas rasterizer — not just the rasterize kernel.
+Measurement method: a CHAINED loop — each iteration's input depends on the
+previous iteration's output — timed as total/N with one device sync at the
+end. On tunneled/relayed backends, per-call `block_until_ready` is unreliable
+in BOTH directions (it returns early for already-finished work and quantizes
+to a coarse polling interval otherwise); chaining forces the device to
+serialize the iterations, so total/N is a true per-iteration device time
+regardless of host-side dispatch behavior. The chain perturbation is
+epsilon-scaled to zero so every iteration renders the identical scene.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
-Run on the real TPU (default env). Options: --num-points, --iters, --train
-(also measure a full fwd+bwd+Adan training step).
+Run on the real TPU (default env). Options: --num-points, --iters, --backend.
 """
 
 import argparse
@@ -20,12 +27,28 @@ import time
 import numpy as np
 
 
+def chained_time(fn, x0, iters, warmup=2):
+    """Mean seconds/iter of x -> fn(x), serialized by data dependency."""
+    import jax
+
+    x = x0
+    for _ in range(warmup):
+        x = fn(x)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = fn(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-points", type=int, default=10000)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--train-iters", type=int, default=50)
     ap.add_argument("--backend", type=str, default="pallas")
     args = ap.parse_args()
 
@@ -40,70 +63,59 @@ def main():
     tb = ((W + 15) // 16, (H + 15) // 16, 1)
     rng = np.random.default_rng(0)
     # trained-model-like scene: splat scales spread so the tile working set
-    # resembles a converged fit (avg ~10 intersections per splat at 1080p)
-    means = rng.uniform(-0.999, 0.999, (n, 2)).astype(np.float32)
-    L = np.stack(
-        [
-            rng.uniform(1.0, 6.0, n),
-            rng.normal(0.0, 1.0, n),
-            rng.uniform(1.0, 6.0, n),
-        ],
-        axis=1,
-    ).astype(np.float32)
-    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    opacity = np.ones((n, 1), np.float32)
+    # resembles a converged fit (avg ~8 intersections per splat at 1080p)
+    means = jnp.asarray(rng.uniform(-0.999, 0.999, (n, 2)), jnp.float32)
+    L = jnp.asarray(
+        np.stack(
+            [rng.uniform(1.0, 6.0, n), rng.normal(0.0, 1.0, n),
+             rng.uniform(1.0, 6.0, n)],
+            axis=1,
+        ),
+        jnp.float32,
+    )
+    colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+    opacity = jnp.ones((n, 1), jnp.float32)
 
-    def forward(m, l, c, o):
+    def forward(m, l, c):
         xys, d, radii, conics, nth = project_gaussians_2d(m, l, H, W, tb)
         img = rasterize_gaussians_sum(
-            xys, d, radii, conics, nth, c, o, H, W, backend=args.backend
+            xys, d, radii, conics, nth, c, opacity, H, W,
+            backend=args.backend,
         )
         return jnp.clip(img, 0.0, 1.0)
 
-    render = jax.jit(forward)
-    means, L = jnp.asarray(means), jnp.asarray(L)
-    colors, opacity = jnp.asarray(colors), jnp.asarray(opacity)
-    img = render(means, L, colors, opacity)
-    jax.block_until_ready(img)
+    @jax.jit
+    def render_chained(m):
+        img = forward(m, L, colors)
+        return m + img[0, 0, 0] * 0.0  # serialize; adds exactly zero
 
-    # Block every call: async dispatch on tunneled backends makes
-    # block-at-end-of-loop measurements unreliable.
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        img = render(means, L, colors, opacity)
-        jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / args.iters
+    dt = chained_time(render_chained, means, args.iters)
     fps = 1.0 / dt
 
-    # full training step (fwd + bwd + Adan) for context
+    # full training step (fwd + bwd + Adan), chained naturally via params
     target = jnp.zeros((H, W, 3), jnp.float32)
 
     @jax.jit
-    def train_step(params, state):
+    def train_step(carry):
+        params, state = carry
+
         def loss_fn(p):
-            return jnp.mean((forward(p["m"], p["l"], p["c"], opacity) - target) ** 2)
+            return jnp.mean((forward(p["m"], p["l"], p["c"]) - target) ** 2)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         params, state = adan_step(params, g, state, 1e-3)
-        return params, state, loss
+        return params, state
 
-    params = {"m": jnp.asarray(means), "l": jnp.asarray(L), "c": jnp.asarray(colors)}
+    params = {"m": means, "l": L, "c": colors}
     state = adan_init(params)
-    params, state, _ = train_step(params, state)
-    jax.block_until_ready(params)
-    t0 = time.perf_counter()
-    steps = max(args.iters // 2, 10)
-    for _ in range(steps):
-        params, state, loss = train_step(params, state)
-        jax.block_until_ready(loss)
-    dt_train = (time.perf_counter() - t0) / steps
+    dt_train = chained_time(
+        lambda c: train_step(c), (params, state), args.train_iters, warmup=1
+    )
 
     n_isect = int(
         np.asarray(
             jax.jit(
-                lambda m, l: jnp.sum(
-                    project_gaussians_2d(m, l, H, W, tb)[4]
-                )
+                lambda m, l: jnp.sum(project_gaussians_2d(m, l, H, W, tb)[4])
             )(means, L)
         )
     )

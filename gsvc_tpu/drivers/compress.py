@@ -170,5 +170,10 @@ def main(argv):
     return 0
 
 
+def cli():
+    """console_scripts entry point."""
+    return main(sys.argv[1:])
+
+
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1:]))

@@ -38,6 +38,7 @@ from gsvc_tpu.models.represent import (
     init_train_state,
     pre_train_frame,
     render_frame,
+    render_frame_pos,
 )
 from gsvc_tpu.utils.control import detect_outliers_mean_diff
 from gsvc_tpu.utils.logwriter import LogWriter
@@ -122,14 +123,14 @@ class SimpleTrainer2d:
         else:
             self.state = init_train_state(key, self.cfg)
 
-    def train(self):
+    def train(self, ispos: bool = False):
         t0 = time.time()
         res = fit_frame(self.state, self.gt, self.cfg)
         jax.block_until_ready(res.state.params.xyz)
         train_time = time.time() - t0
         self.state = res.state
         num_points = int(jnp.sum(res.state.alive))
-        psnr, msssim, img = self.test()
+        psnr, msssim, combined_img, img = self.test(ispos)
         # render-only timing loop (train_video_Represent.py:101-106)
         render = jax.jit(
             lambda p, a: render_frame(p, a, self.cfg)
@@ -144,7 +145,7 @@ class SimpleTrainer2d:
         gmodel = gmodel_from_state(res.state.params, res.state.alive)
         return (
             psnr, msssim, train_time, eval_time, 1.0 / eval_time,
-            gmodel, img, num_points, float(res.state.loss),
+            gmodel, combined_img, img, num_points, float(res.state.loss),
         )
 
     def pre_train(self, lambda_value: float = 0.7):
@@ -153,7 +154,9 @@ class SimpleTrainer2d:
         gmodel = gmodel_from_state(res.state.params, res.state.alive)
         return gmodel, float(res.state.loss)
 
-    def test(self):
+    def test(self, ispos: bool = False):
+        """PSNR/MS-SSIM + rendered frame; with ispos also the combined
+        (position-map | render) image (train_video_Represent.py:135-202)."""
         img = render_frame(self.state.params, self.state.alive, self.cfg)
         mse = float(jnp.mean((img - self.gt) ** 2))
         psnr = 10 * math.log10(1.0 / mse)
@@ -162,7 +165,22 @@ class SimpleTrainer2d:
                 img.transpose(2, 0, 1)[None], self.gt.transpose(2, 0, 1)[None]
             )
         )
-        return psnr, mss, np.asarray(jnp.clip(img, 0, 1) * 255).astype(np.uint8)
+        img_u8 = np.asarray(jnp.clip(img, 0, 1) * 255).astype(np.uint8)
+        if not ispos:
+            return psnr, mss, img_u8, img_u8
+        pos = render_frame_pos(self.state.params, self.state.alive, self.cfg)
+        pos_u8 = np.asarray(jnp.clip(pos, 0, 1) * 255).astype(np.uint8)
+        combined = np.concatenate([pos_u8, img_u8], axis=1)
+        return psnr, mss, combined, img_u8
+
+
+def _save_png(path, img_u8: np.ndarray) -> None:
+    try:
+        import cv2
+
+        cv2.imwrite(str(path), cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+    except Exception:  # pragma: no cover - cv2 missing
+        np.save(str(path) + ".npy", img_u8)
 
 
 def _warm_params(gmodel: dict, capacity: int) -> SplatParams:
@@ -284,6 +302,8 @@ def main(argv):
     num_gaussian_points = args.num_points
     gmodels_state = {}
     img_list = []
+    combined_img_list = []
+    img_dir = out_dir / "img"
     for i in range(image_length):
         frame_num = i + 1
         if frame_num in k_frames:
@@ -307,9 +327,23 @@ def main(argv):
             )
         (
             psnr, msssim, train_time, eval_time, eval_fps,
-            gmodel, img, num_gaussian_points, loss,
-        ) = trainer.train()
+            gmodel, combined_img, img, num_gaussian_points, loss,
+        ) = trainer.train(args.is_pos)
         img_list.append(img)
+        if args.is_pos:
+            combined_img_list.append(combined_img)
+        # PNG dumps (train_video_Represent.py:146-160): every frame with
+        # --save_everyimgs, frames 1 and every 100th with --save_imgs.
+        if args.save_everyimgs or (
+            args.save_imgs and (i == 0 or (i + 1) % 100 == 0)
+        ):
+            img_dir.mkdir(parents=True, exist_ok=True)
+            _save_png(img_dir / f"{frame_num}_fitting.png", img)
+            if args.is_pos:
+                _save_png(
+                    img_dir / f"{frame_num}_fitting_combined_pos.png",
+                    combined_img,
+                )
         psnrs.append(psnr)
         ms_ssims.append(msssim)
         t_train.append(train_time)
@@ -342,7 +376,14 @@ def main(argv):
         )
     )
     generate_video(out_dir, img_list, args.fps, origin=True)
+    if args.is_pos:
+        generate_video(out_dir, combined_img_list, args.fps, origin=False)
     return 0
+
+
+def cli():
+    """console_scripts entry point."""
+    return main(sys.argv[1:])
 
 
 if __name__ == "__main__":

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from gsvc_tpu.config import FrameConfig
-from gsvc_tpu.core import SplatParams, init_splats
+from gsvc_tpu.core import CHOLESKY_BOUND, SplatParams, init_splats
 from gsvc_tpu.ops.projection import project_gaussians_2d
 from gsvc_tpu.ops.rasterize import rasterize_gaussians_sum
 from gsvc_tpu.optim.adan import AdanState, adan_init, adan_reset_moments, adan_step
@@ -150,6 +150,32 @@ def render_frame(
     opacity = jnp.ones((params.capacity, 1), jnp.float32)
     img = rasterize_gaussians_sum(
         xys, depths, radii, conics, nth, colors, opacity,
+        cfg.H, cfg.W, cfg.block_h, cfg.block_w,
+        backend=cfg.backend, max_intersects=cfg.max_intersects,
+    )
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def render_frame_pos(
+    params: SplatParams, alive: jax.Array, cfg: FrameConfig
+) -> jax.Array:
+    """model.forward_pos(): splat-position visualization, [H, W, 3].
+
+    Mirrors GaussianSplats_Represent.py:72-82 — every live splat rendered
+    with unit colors and a fixed cholesky of 1.0 (+ bound), so the output
+    shows where splats sit rather than what they paint.
+    """
+    n = params.capacity
+    cholesky = jnp.full((n, 3), 1.0, jnp.float32) + jnp.asarray(
+        CHOLESKY_BOUND, jnp.float32
+    )
+    xys, depths, radii, conics, nth = project_gaussians_2d(
+        params.get_xyz, cholesky, cfg.H, cfg.W,
+        cfg.tile_bounds, cfg.block_w, cfg.block_h, alive=alive,
+    )
+    ones = jnp.ones((n, 3), jnp.float32)
+    img = rasterize_gaussians_sum(
+        xys, depths, radii, conics, nth, ones, ones[:, :1],
         cfg.H, cfg.W, cfg.block_h, cfg.block_w,
         backend=cfg.backend, max_intersects=cfg.max_intersects,
     )

@@ -43,16 +43,30 @@ import jax.numpy as jnp
 from gsvc_tpu.ops.projection import _tile_bbox
 
 
-class BinnedSplats(NamedTuple):
-    """CSR view of gaussian/tile intersections, sorted by (tile, gaussian).
+# Lane slots per tile-group: every tile's bin is padded (with sentinel
+# entries injected into the sort) to a multiple of GROUP, so the sorted
+# arrays double as the Pallas kernels' group-streamed layout with no
+# post-sort gather (see ops/rasterize_pallas.py).
+GROUP = 16
 
-    sorted_gauss_ids: [I] int32 gaussian index per intersection; sentinel = N
-      for unused slots (they sort to the end).
-    sorted_tile_ids: [I] int32 tile id per intersection; sentinel = num_tiles.
-    tile_bin_start: [T] int32 — first intersection index of each tile.
-    tile_counts: [T] int32 — number of intersections of each tile.
+
+class BinnedSplats(NamedTuple):
+    """Group-padded CSR view of gaussian/tile intersections, sorted by
+    (tile, gaussian) with per-tile sentinel padding to GROUP-lane multiples.
+
+    sorted_gauss_ids: [S] int32 gaussian index per lane; sentinel = N for
+      padding lanes, budget-dropped slots, and beyond-cap lanes (the
+      per-tile cap is applied here: lanes ranked >= cap within their tile
+      are sentinel — forward.cu:613 semantics).
+    sorted_tile_ids: [S] int32 tile id per lane; sentinel = num_tiles.
+    tile_bin_start: [T] int32 — first lane of each tile (GROUP-aligned).
+    tile_counts: [T] int32 — REAL intersections of each tile (pre-cap).
     num_intersects: [] int32 traced total (before budget clamp).
     overflow: [] int32 — intersections dropped by the budget (0 normally).
+
+    S = group-aligned static capacity (budget + padding slack); both sorted
+    arrays carry extra sentinel tail so group-granular dynamic slices for
+    tile-row sharding stay in bounds.
     """
 
     sorted_gauss_ids: jax.Array
@@ -71,6 +85,7 @@ def bin_gaussians(
     block_w: int,
     block_h: int,
     max_intersects: int,
+    cap: int = 256,
 ) -> BinnedSplats:
     n = xys.shape[0]
     tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
@@ -125,20 +140,76 @@ def bin_gaussians(
     tile_id = jnp.where(valid, ty * tb_x + tx, num_tiles).astype(jnp.int32)
     gauss_id = jnp.where(valid, g_safe, n).astype(jnp.int32)
 
-    # lexicographic (tile, gaussian) sort — no 64-bit key packing needed
-    sorted_tile_ids, sorted_gauss_ids = jax.lax.sort(
-        (tile_id, gauss_id), num_keys=2
-    )
-
-    # Bin edges: per-tile counts via one scatter-add over the (unsorted)
-    # tile ids, then exclusive cumsum — O(T) + one scatter, instead of
-    # searchsorted over the sorted ids.
+    # Per-tile counts via one scatter-add over the (unsorted) tile ids —
+    # O(T) + one scatter, instead of searchsorted over the sorted ids.
     tile_counts = (
         jnp.zeros(num_tiles + 1, jnp.int32)
         .at[tile_id]
         .add(1, mode="drop")[:num_tiles]
     )
-    tile_bin_start = jnp.cumsum(tile_counts) - tile_counts
+
+    # Inject per-tile padding entries INTO the sort so each tile's bin comes
+    # out padded to a GROUP multiple: tile t needs p(t) = (-count) mod GROUP
+    # pads; we provide GROUP-1 static candidates per tile and sentinel-key
+    # the unneeded ones to the tail. Pads appear after the real block in the
+    # pre-sort array, so the stable sort puts them after the tile's real
+    # entries. This replaces a separate (gather-heavy) group-layout pass.
+    p_need = (-tile_counts) % GROUP  # [T]
+    r = jnp.arange(GROUP - 1, dtype=jnp.int32)
+    pad_tile = jnp.where(
+        r[None, :] < p_need[:, None],
+        jnp.arange(num_tiles, dtype=jnp.int32)[:, None],
+        num_tiles,
+    ).reshape(-1)
+    pad_gauss = jnp.full(pad_tile.shape, n, jnp.int32)
+
+    keys = jnp.concatenate([tile_id, pad_tile])
+    vals = jnp.concatenate([gauss_id, pad_gauss])
+
+    # Single-key STABLE sort by tile: intersections are generated in
+    # ascending gaussian order, so stability gives exactly the reference's
+    # (tile, gaussian) order without a second key (the CUDA path's 64-bit
+    # tile|depth key sort, gsplat/utils.py:161-167, with depth == 0).
+    # 16-bit keys sort faster when the tile grid fits (it does up to 4K).
+    if num_tiles + 1 <= jnp.iinfo(jnp.int16).max:
+        sorted_key, sorted_gauss_ids = jax.lax.sort(
+            (keys.astype(jnp.int16), vals), num_keys=1, is_stable=True
+        )
+        sorted_tile_ids = sorted_key.astype(jnp.int32)
+    else:
+        sorted_tile_ids, sorted_gauss_ids = jax.lax.sort(
+            (keys, vals), num_keys=1, is_stable=True
+        )
+
+    # Group-aligned static capacity with slack for group-granular dynamic
+    # slicing (tile-row sharding): worst-case groups = budget/GROUP + T.
+    s_cap = max_intersects + GROUP * num_tiles
+    tail = s_cap - sorted_tile_ids.shape[0]
+    sorted_tile_ids = jnp.pad(
+        sorted_tile_ids, (0, tail), constant_values=num_tiles
+    )
+    sorted_gauss_ids = jnp.pad(sorted_gauss_ids, (0, tail), constant_values=n)
+
+    # Per-lane rank within its tile run (associative_scan — XLA's cummax
+    # lowering is quadratic at these lengths), used to apply the per-tile
+    # cap exactly like the reference kernel's first-256 batch
+    # (forward.cu:613): beyond-cap lanes become sentinels.
+    lane = jnp.arange(s_cap, dtype=jnp.int32)
+    change = jnp.concatenate(
+        [
+            jnp.ones(1, dtype=bool),
+            sorted_tile_ids[1:] != sorted_tile_ids[:-1],
+        ]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(change, lane, 0)
+    )
+    rank = lane - run_start
+    sorted_gauss_ids = jnp.where(rank < cap, sorted_gauss_ids, n)
+
+    # GROUP-aligned bin starts over the padded layout.
+    ng = (tile_counts + GROUP - 1) // GROUP
+    tile_bin_start = GROUP * (jnp.cumsum(ng) - ng)
 
     overflow = jnp.maximum(total - max_intersects, 0)
     return BinnedSplats(
@@ -151,12 +222,14 @@ def bin_gaussians(
     )
 
 
-def default_max_intersects(num_points: int, num_tiles: int, factor: int = 24) -> int:
+def default_max_intersects(num_points: int, num_tiles: int, factor: int = 16) -> int:
     """Static intersection budget heuristic.
 
     At GSVC's operating points (10k-50k splats on 1080p) the measured average
-    is ~10 intersections per splat; 24x leaves generous headroom. Rounded up
-    to a multiple of 1024 to stabilize compiled shapes across nearby configs.
+    is ~10 intersections per splat; 16x leaves generous headroom (overflow is
+    reported and callers log it — binning drops the tail like the reference
+    silently drops per-tile overflow, forward.cu:613). Rounded up to a
+    multiple of 1024 to stabilize compiled shapes across nearby configs.
     """
     budget = max(num_points * factor, num_tiles * 4, 1024)
     return ((budget + 1023) // 1024) * 1024

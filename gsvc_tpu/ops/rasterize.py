@@ -80,6 +80,12 @@ def rasterize_gaussians_sum(
 
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "binned"
+    # The Pallas kernel packs exactly 3 color channels (like the reference's
+    # specialized 3-channel kernel, forward.cu:512); other channel counts
+    # dispatch to the binned path — the analog of the reference wrapper
+    # routing C != 3 to nd_rasterize_forward_sum (rasterize_sum.py:147-150).
+    if backend == "pallas" and colors.shape[-1] != 3:
+        backend = "binned"
 
     if backend == "dense":
         if tile_rows is not None:
@@ -94,7 +100,7 @@ def rasterize_gaussians_sum(
     else:
         binned = bin_gaussians(
             xys, radii, num_tiles_hit, tile_bounds, BLOCK_W, BLOCK_H,
-            max_intersects,
+            max_intersects, cap=TILE_CAP,
         )
         total = binned.num_intersects
         if backend == "pallas":
