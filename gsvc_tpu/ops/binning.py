@@ -7,25 +7,30 @@ Replaces the reference pipeline `compute_cumulative_intersects` +
 another kernel (forward.cu:141-163).
 
 TPU-native redesign:
-- No custom kernel, no host sync. The reference's
-  `.item()` sync (utils.py:117) disappears: a *static* intersection budget
-  `max_intersects` replaces the dynamic allocation, and the dynamic total is
-  carried as a traced scalar.
+- No custom kernel, no host sync. The reference's `.item()` sync
+  (utils.py:117) disappears: a *static* intersection budget `max_intersects`
+  replaces the dynamic allocation, and the dynamic total is carried as a
+  traced scalar.
 - Pair expansion avoids vectorized binary search (jnp.searchsorted's
-  per-query scan lowers catastrophically on TPU — measured 25 ms for 240k
-  queries on v5e): instead, each splat scatters its index at its exclusive
-  start offset and a `cummax` forward-fill assigns every intersection slot
-  its owning gaussian in O(I) vector work. The tile is then decoded from the
-  slot's rank inside the gaussian's tile bbox (row-major, matching
-  forward.cu:118-133) with exact float32 div/mod (integer vector division by
-  a dynamic divisor is also slow on TPU).
+  per-query scan lowers catastrophically on TPU): each splat scatters its
+  index at its exclusive start offset and an `associative_scan` maximum
+  forward-fills every intersection slot with its owning gaussian in O(I)
+  vector work (lax.cummax lowers to a quadratic loop at these lengths).
+  The tile is decoded from the slot's rank inside the gaussian's tile bbox
+  (row-major, matching forward.cu:118-133) with exact float32 div/mod.
 - Depth is constant 0 in this pipeline (foward2d.cu:67), so the reference's
-  (tile, depth) sort order reduces to tile order; we sort lexicographically
-  by (tile, gaussian index) with `lax.sort`, which both matches the
-  generation order the CUDA sort preserves for equal keys and makes binning
-  bit-deterministic.
-- Bin edges come from a per-tile scatter-add histogram + exclusive cumsum
-  instead of a kernel (forward.cu:141-163).
+  64-bit (tile, depth) key order reduces to (tile, gaussian) order; both
+  fit one uint32 key (tile<<16 | gauss) whenever n < 65535 and the tile
+  grid < 64k tiles (true up to 4K video), so ONE unstable single-array sort
+  replaces the reference's key/value radix sort — measured 4x cheaper than
+  the (key, value) lax.sort pair on v5e. Unique keys make the unstable sort
+  deterministic.
+- The sorted layout is the Pallas kernels' streaming layout DIRECTLY: each
+  tile-ROW of the grid ("superblock") is padded — by sentinel entries
+  injected into the sort — to a LANE_ALIGN-lane boundary, so the rasterizer
+  can DMA aligned LANE_ALIGN-lane chunks per tile row with a dynamic trip
+  count (ops/rasterize_pallas.py). Per-tile starts stay exact (unaligned)
+  for the CSR consumers (ops/rasterize_binned.py, tests).
 
 If the budget overflows, the tail (highest gaussian indices) is dropped and
 `overflow` reports how many intersections were lost — the reference silently
@@ -43,38 +48,48 @@ import jax.numpy as jnp
 from gsvc_tpu.ops.projection import _tile_bbox
 
 
-# Lane slots per tile-group: every tile's bin is padded (with sentinel
-# entries injected into the sort) to a multiple of GROUP, so the sorted
-# arrays double as the Pallas kernels' group-streamed layout with no
-# post-sort gather (see ops/rasterize_pallas.py).
-GROUP = 16
+# Lanes per rasterizer DMA chunk: every tile-row superblock is padded (with
+# sentinel entries injected into the sort) to a multiple of LANE_ALIGN, so
+# per-row dynamic chunk DMAs stay aligned (see ops/rasterize_pallas.py).
+LANE_ALIGN = 256
 
 
 class BinnedSplats(NamedTuple):
-    """Group-padded CSR view of gaussian/tile intersections, sorted by
-    (tile, gaussian) with per-tile sentinel padding to GROUP-lane multiples.
+    """Row-superblock CSR view of gaussian/tile intersections, sorted by
+    (tile, gaussian), with each tile row padded to LANE_ALIGN-lane multiples.
 
     sorted_gauss_ids: [S] int32 gaussian index per lane; sentinel = N for
       padding lanes, budget-dropped slots, and beyond-cap lanes (the
       per-tile cap is applied here: lanes ranked >= cap within their tile
       are sentinel — forward.cu:613 semantics).
-    sorted_tile_ids: [S] int32 tile id per lane; sentinel = num_tiles.
-    tile_bin_start: [T] int32 — first lane of each tile (GROUP-aligned).
+    sorted_tile_ids: [S] int32 tile id per lane; sentinel = num_tiles
+      (row-padding lanes carry their row's last REAL tile id instead, so
+      they stay inside the row's lane range; their gauss id is sentinel).
+    tile_bin_start: [T] int32 — EXACT first lane of each tile's run.
+    row_lane_start: [R+1] int32 — LANE_ALIGN-aligned first lane of each tile
+      row's superblock (R = tile rows); row r owns lanes
+      [row_lane_start[r], row_lane_start[r+1]).
     tile_counts: [T] int32 — REAL intersections of each tile (pre-cap).
-    num_intersects: [] int32 traced total (before budget clamp).
+    num_intersects: [] int32 traced total (after budget clamp).
     overflow: [] int32 — intersections dropped by the budget (0 normally).
 
-    S = group-aligned static capacity (budget + padding slack); both sorted
-    arrays carry extra sentinel tail so group-granular dynamic slices for
-    tile-row sharding stay in bounds.
+    S = LANE_ALIGN-aligned static capacity (budget + per-row padding slack).
     """
 
     sorted_gauss_ids: jax.Array
     sorted_tile_ids: jax.Array
     tile_bin_start: jax.Array
+    row_lane_start: jax.Array
     tile_counts: jax.Array
     num_intersects: jax.Array
     overflow: jax.Array
+
+
+def static_capacity(max_intersects: int, tile_bounds: Tuple[int, int, int]) -> int:
+    """Static lane capacity S of the sorted layout for a given budget."""
+    tb_y = int(tile_bounds[1])
+    cap = max_intersects + (LANE_ALIGN - 1) * tb_y
+    return ((cap + LANE_ALIGN - 1) // LANE_ALIGN) * LANE_ALIGN
 
 
 def bin_gaussians(
@@ -105,8 +120,11 @@ def bin_gaussians(
     i = jnp.arange(max_intersects, dtype=jnp.int32)
     # Each gaussian with >=1 tile hit owns a unique start slot (empty
     # gaussians share their successor's start and must not scatter). Scatter
-    # the gaussian index at its start, then forward-fill with cummax: slot i
-    # belongs to the last gaussian whose start is <= i.
+    # the gaussian index at its start, then forward-fill with a running max:
+    # slot i belongs to the last gaussian whose start is <= i. The fill and
+    # the gaussian's own start slot are forward-filled together in ONE
+    # associative_scan over a stacked [2, I] array (both rows increase at
+    # exactly the seed slots, so independent maxima stay consistent).
     gid = jnp.arange(n, dtype=jnp.int32)
     scatter_idx = jnp.where(nth > 0, starts_g, max_intersects)  # drop empties
     seed = (
@@ -114,9 +132,12 @@ def bin_gaussians(
         .at[scatter_idx]
         .max(gid, mode="drop")
     )
-    g = jax.lax.cummax(seed)
-    # start slot of g, forward-filled the same way (no gather needed)
-    start_of_g = jax.lax.cummax(jnp.where(seed >= 0, i, -1))
+    filled = jax.lax.associative_scan(
+        jnp.maximum,
+        jnp.stack([seed, jnp.where(seed >= 0, i, -1)]),
+        axis=1,
+    )
+    g, start_of_g = filled[0], filled[1]
     valid = (i < total) & (g >= 0)
     g_safe = jnp.maximum(g, 0)
     slot = i - start_of_g  # rank of this intersection inside g's bbox
@@ -140,86 +161,103 @@ def bin_gaussians(
     tile_id = jnp.where(valid, ty * tb_x + tx, num_tiles).astype(jnp.int32)
     gauss_id = jnp.where(valid, g_safe, n).astype(jnp.int32)
 
-    # Per-tile counts via one scatter-add over the (unsorted) tile ids —
-    # O(T) + one scatter, instead of searchsorted over the sorted ids.
+    # Per-tile counts via one scatter-add over the (unsorted) tile ids.
     tile_counts = (
         jnp.zeros(num_tiles + 1, jnp.int32)
         .at[tile_id]
         .add(1, mode="drop")[:num_tiles]
     )
 
-    # Inject per-tile padding entries INTO the sort so each tile's bin comes
-    # out padded to a GROUP multiple: tile t needs p(t) = (-count) mod GROUP
-    # pads; we provide GROUP-1 static candidates per tile and sentinel-key
-    # the unneeded ones to the tail. Pads appear after the real block in the
-    # pre-sort array, so the stable sort puts them after the tile's real
-    # entries. This replaces a separate (gather-heavy) group-layout pass.
-    p_need = (-tile_counts) % GROUP  # [T]
-    r = jnp.arange(GROUP - 1, dtype=jnp.int32)
+    # Inject per-ROW padding entries INTO the sort so each tile row's
+    # superblock comes out padded to a LANE_ALIGN multiple: row r needs
+    # p(r) = (-row_count) mod LANE_ALIGN pads; we provide LANE_ALIGN-1
+    # static candidates per row and sentinel-key the unneeded ones to the
+    # tail. Pads carry the row's LAST tile id with a sentinel gaussian, so
+    # they sort to the end of the row's run.
+    row_counts = tile_counts.reshape(tb_y, tb_x).sum(axis=1)
+    p_need = (-row_counts) % LANE_ALIGN  # [R]
+    r_ = jnp.arange(LANE_ALIGN - 1, dtype=jnp.int32)
+    row_last_tile = jnp.arange(tb_y, dtype=jnp.int32) * tb_x + (tb_x - 1)
     pad_tile = jnp.where(
-        r[None, :] < p_need[:, None],
-        jnp.arange(num_tiles, dtype=jnp.int32)[:, None],
-        num_tiles,
+        r_[None, :] < p_need[:, None], row_last_tile[:, None], num_tiles
     ).reshape(-1)
     pad_gauss = jnp.full(pad_tile.shape, n, jnp.int32)
 
-    keys = jnp.concatenate([tile_id, pad_tile])
-    vals = jnp.concatenate([gauss_id, pad_gauss])
+    sorted_tile_ids, sorted_gauss_ids = _sort_by_tile_gauss(
+        jnp.concatenate([tile_id, pad_tile]),
+        jnp.concatenate([gauss_id, pad_gauss]),
+        n,
+        num_tiles,
+    )
 
-    # Single-key STABLE sort by tile: intersections are generated in
-    # ascending gaussian order, so stability gives exactly the reference's
-    # (tile, gaussian) order without a second key (the CUDA path's 64-bit
-    # tile|depth key sort, gsplat/utils.py:161-167, with depth == 0).
-    # 16-bit keys sort faster when the tile grid fits (it does up to 4K).
-    if num_tiles + 1 <= jnp.iinfo(jnp.int16).max:
-        sorted_key, sorted_gauss_ids = jax.lax.sort(
-            (keys.astype(jnp.int16), vals), num_keys=1, is_stable=True
-        )
-        sorted_tile_ids = sorted_key.astype(jnp.int32)
-    else:
-        sorted_tile_ids, sorted_gauss_ids = jax.lax.sort(
-            (keys, vals), num_keys=1, is_stable=True
-        )
-
-    # Group-aligned static capacity with slack for group-granular dynamic
-    # slicing (tile-row sharding): worst-case groups = budget/GROUP + T.
-    s_cap = max_intersects + GROUP * num_tiles
+    # LANE_ALIGN-aligned static capacity.
+    s_cap = static_capacity(max_intersects, tile_bounds)
     tail = s_cap - sorted_tile_ids.shape[0]
     sorted_tile_ids = jnp.pad(
         sorted_tile_ids, (0, tail), constant_values=num_tiles
     )
     sorted_gauss_ids = jnp.pad(sorted_gauss_ids, (0, tail), constant_values=n)
 
-    # Per-lane rank within its tile run (associative_scan — XLA's cummax
-    # lowering is quadratic at these lengths), used to apply the per-tile
-    # cap exactly like the reference kernel's first-256 batch
-    # (forward.cu:613): beyond-cap lanes become sentinels.
-    lane = jnp.arange(s_cap, dtype=jnp.int32)
-    change = jnp.concatenate(
-        [
-            jnp.ones(1, dtype=bool),
-            sorted_tile_ids[1:] != sorted_tile_ids[:-1],
-        ]
+    # Aligned superblock starts and exact per-tile starts.
+    row_lanes = row_counts + p_need  # LANE_ALIGN multiples
+    row_lane_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(row_lanes, dtype=jnp.int32)]
     )
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(change, lane, 0)
-    )
-    rank = lane - run_start
-    sorted_gauss_ids = jnp.where(rank < cap, sorted_gauss_ids, n)
+    cum_t = jnp.cumsum(tile_counts, dtype=jnp.int32) - tile_counts  # excl.
+    row_of_t = jnp.arange(num_tiles, dtype=jnp.int32) // tb_x
+    row_first = cum_t.reshape(tb_y, tb_x)[:, 0]
+    tile_bin_start = row_lane_start[row_of_t] + (cum_t - row_first[row_of_t])
 
-    # GROUP-aligned bin starts over the padded layout.
-    ng = (tile_counts + GROUP - 1) // GROUP
-    tile_bin_start = GROUP * (jnp.cumsum(ng) - ng)
+    # Per-lane rank within its tile run — one gather of the exact starts —
+    # used to apply the per-tile cap exactly like the reference kernel's
+    # first-256 batch (forward.cu:613): beyond-cap lanes become sentinels.
+    starts_lookup = jnp.concatenate(
+        [tile_bin_start, jnp.zeros(1, jnp.int32)]
+    )
+    lane = jnp.arange(s_cap, dtype=jnp.int32)
+    rank = lane - starts_lookup[sorted_tile_ids]
+    sorted_gauss_ids = jnp.where(rank < cap, sorted_gauss_ids, n)
 
     overflow = jnp.maximum(total - max_intersects, 0)
     return BinnedSplats(
         sorted_gauss_ids=sorted_gauss_ids,
         sorted_tile_ids=sorted_tile_ids,
         tile_bin_start=tile_bin_start,
+        row_lane_start=row_lane_start,
         tile_counts=tile_counts,
         num_intersects=jnp.minimum(total, max_intersects),
         overflow=overflow,
     )
+
+
+def _sort_by_tile_gauss(
+    tile_id: jax.Array, gauss_id: jax.Array, n: int, num_tiles: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Sort intersections by (tile, gaussian).
+
+    Fast path: one unstable uint32 sort of the combined key
+    (tile << 16 | gauss) — keys are unique for real entries and
+    interchangeable for pads, so the order is deterministic. Falls back to
+    a stable (int32 key, int32 value) pair sort when ids don't fit 16 bits.
+    """
+    if n < 0xFFFF and num_tiles < 0x10000:
+        key = (
+            tile_id.astype(jnp.uint32) << 16
+        ) | jnp.where(gauss_id >= n, 0xFFFF, gauss_id).astype(jnp.uint32)
+        skey = jax.lax.sort(key, is_stable=False)
+        stile = (skey >> 16).astype(jnp.int32)
+        sgauss = (skey & 0xFFFF).astype(jnp.int32)
+        sgauss = jnp.where(sgauss == 0xFFFF, n, sgauss)
+        return stile, sgauss
+    # Single-key STABLE sort by tile: intersections are generated in
+    # ascending gaussian order, so stability gives exactly the reference's
+    # (tile, gaussian) order (the CUDA path's 64-bit tile|depth key sort,
+    # gsplat/utils.py:161-167, with depth == 0). Row pads were appended
+    # after the real block, so stability also keeps them at row ends.
+    stile, sgauss = jax.lax.sort(
+        (tile_id, gauss_id), num_keys=1, is_stable=True
+    )
+    return stile, sgauss
 
 
 def default_max_intersects(num_points: int, num_tiles: int, factor: int = 16) -> int:

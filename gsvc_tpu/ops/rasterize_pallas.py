@@ -4,42 +4,39 @@ TPU-native replacement for the reference CUDA hot kernels
 `rasterize_forward_sum` (gsplat/gsplat/cuda/csrc/forward.cu:512-627) and
 `rasterize_backward_sum_kernel` (backward.cu:696-862).
 
-Design (see SURVEY.md §7.1) — the GROUP-STREAMING layout:
+Design (see SURVEY.md §7.1) — the ROW-STREAMING layout:
 
 - The render is an order-independent accumulation, so each tile needs only
-  its *member* splats, already grouped contiguously by the CSR binning
-  (ops/binning.py). Each tile's (capped) member list is padded to GROUP=16
-  lane slots ("groups"); groups from all tiles are laid out consecutively.
-  Per-lane splat data is gathered once into a param-major array
-  (`data[16, L]`: x, y, c1, c2, c3, opac, r, g, b, ox, oy — the last two
-  are the lane's OWN tile origin, so a 128-lane window can mix tiles).
+  its *member* splats, already grouped contiguously by the binning sort
+  (ops/binning.py), whose layout pads every tile ROW of the grid to a
+  CHUNK-lane boundary. Per-lane splat data is gathered once into a
+  param-major array (`data[16, S]`: x, y, c1, c2, c3, opac, r, g, b, ox,
+  oy, tile — ox/oy are the lane's OWN tile origin and `tile` its global
+  tile id, so a chunk can mix tiles freely).
 
-- Forward: the grid streams 128-lane windows (= NG=8 groups); the data
-  block (j -> j) and the output block (j -> j) are both sequential, so
-  Pallas's automatic pipelining fully hides HBM latency — no manual DMAs,
-  no per-tile grid. Per window, sigma for all 256 tile-local pixels is ONE
-  [256, 6] x [6, 128] MXU matmul (quadratic-feature factorization), and the
-  per-group color accumulation is one [NG*4, 128] x [128, 256] MXU matmul
-  against a group-masked color matrix: out[(g, c), p] = sum_{k in g}
-  rgb[c, k] * alpha[p, k]. A segment-sum over group -> tile (~1.1 groups per
-  tile) assembles the image outside the kernel.
-
-  (The previous design iterated one grid step per tile with manual
-  128-lane window DMAs; at 1080p that was 8160 tiny grid steps whose
-  fixed overhead + blocking DMA waits cost ~15 ms — 30x the useful
-  compute. Group streaming brings the same math to ~2900 uniform,
-  fully-pipelined steps.)
+- Forward: ONE grid step per tile row (68 steps at 1080p). Each step
+  double-buffer-DMAs its row's CHUNK-lane slices from HBM with a DYNAMIC
+  trip count (work scales with the row's real intersections, not a static
+  worst case) and accumulates all of the row's tiles directly into a
+  [3*tb_x, pix] accumulator: sigma for all 256 tile-local pixels is one
+  [pix, 6] x [6, CHUNK] MXU matmul (quadratic-feature factorization), and
+  the per-tile color accumulation is one [3*tb_x, CHUNK] x [CHUNK, pix]
+  MXU matmul against a tile-masked color matrix:
+  acc[(t, c), p] += sum_{k in tile t} rgb[c, k] * alpha[p, k].
+  The output IS the tiled image — no segment reduction afterwards (the
+  previous group-streamed design's XLA segment_sum cost 2.6 ms at 1080p,
+  more than the kernel itself; measured in scripts/profile_fwd_chain.py).
 
 - Backward is atomics-free (vs. backward.cu:843-858's atomicAdd) and uses
-  the same streamed layout: per window it recomputes sigma/alpha, pulls the
-  NG group tiles' image-gradient blocks via scalar-prefetched index maps,
-  and emits per-lane parameter gradients to a (j -> j) streamed output.
-  v_alpha and v_rgb are the transposed MXU matmuls of the forward. A
-  segment_sum over gaussian ids then reduces lane grads to per-splat grads.
-  Deterministic by construction.
+  the same streamed layout: per chunk it recomputes sigma/alpha against the
+  step's [3*tb_x, pix] image-gradient block, emits per-lane parameter
+  gradients, and DMAs them back out chunk-by-chunk; v_alpha and v_rgb are
+  the transposed MXU matmuls of the forward. A segment_sum over gaussian
+  ids then reduces lane grads to per-splat grads. Deterministic by
+  construction.
 
-- The per-tile cap (first 256 binned splats, forward.cu:613) is applied
-  when building the group layout.
+- The per-tile cap (first 256 binned splats, forward.cu:613) is applied by
+  the binning (beyond-cap lanes carry the sentinel gaussian id).
 
 Numerics match the reference: sigma/alpha in f32, alpha = min(1, opac*vis)
 with the min applied forward-only in the VJP (backward.cu:824-837), cutoff
@@ -61,13 +58,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gsvc_tpu.ops.binning import GROUP, BinnedSplats
+from gsvc_tpu.ops.binning import LANE_ALIGN, BinnedSplats
 from gsvc_tpu.ops.rasterize_dense import ALPHA_CUTOFF
 
-WINDOW = 128  # lanes per grid step (lane-tiling aligned)
-NG = WINDOW // GROUP  # groups per window
-DATA_ROWS = 16  # packed rows: x y c1 c2 c3 opac r g b ox oy (5 pad)
-OUT_CH = 4  # channels emitted per group by the forward kernel (r g b pad)
+CHUNK = LANE_ALIGN  # lanes per in-kernel DMA chunk
+DATA_ROWS = 16  # packed rows: x y c1 c2 c3 opac r g b ox oy tile (4 pad)
 
 # Run kernels in the Pallas interpreter (for CPU tests). Toggled by tests.
 INTERPRET = False
@@ -79,52 +74,12 @@ def _zero_cotangent(x):
     return jnp.zeros_like(x)
 
 
-def default_max_groups(max_intersects: int, num_tiles: int) -> int:
-    """Static bound on tile-groups: every intersection could open a lane and
-    every tile wastes at most one partial group. Rounded to whole windows."""
-    g = max_intersects // GROUP + num_tiles
-    return ((g + NG - 1) // NG) * NG
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
 
 
-def _local_groups(
+def _pack_lanes(
     binned: BinnedSplats,
-    tile0: jax.Array,
-    num_tiles: int,
-    n: int,
-    max_groups: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Slice the sort-integrated group layout for tiles [tile0, tile0+T).
-
-    The binning sort already emitted every tile's bin padded to GROUP-lane
-    multiples (ops/binning.py), so the group layout is a plain GROUP-aligned
-    dynamic slice — no gather. Returns (lane ids [max_groups*GROUP] with
-    sentinel n, LOCAL group tile ids [max_groups] with sentinel num_tiles).
-    """
-    lanes = max_groups * GROUP
-    src_ids, src_tiles = binned.sorted_gauss_ids, binned.sorted_tile_ids
-    start = binned.tile_bin_start[tile0]
-    if src_ids.shape[0] != lanes:
-        # tiny grids (src < lanes) or a sharded partial slice whose dynamic
-        # offset could run past the tail (src > lanes): append sentinel
-        # slack so dynamic_slice never clamps into misalignment.
-        pad = lanes if src_ids.shape[0] > lanes else lanes - src_ids.shape[0]
-        src_ids = jnp.pad(src_ids, (0, pad), constant_values=n)
-        src_tiles = jnp.pad(src_tiles, (0, pad), constant_values=-1)
-    ids = jax.lax.dynamic_slice(src_ids, (start,), (lanes,))
-    tiles = jax.lax.dynamic_slice(src_tiles, (start,), (lanes,))
-    gtile_global = tiles.reshape(max_groups, GROUP)[:, 0]
-    gtile = gtile_global - tile0
-    in_shard = (gtile >= 0) & (gtile < num_tiles)
-    gtile = jnp.where(in_shard, gtile, num_tiles).astype(jnp.int32)
-    # lanes of out-of-shard groups must not emit gradients for real splats
-    ids = jnp.where(jnp.repeat(in_shard, GROUP), ids, n).astype(jnp.int32)
-    return ids, gtile
-
-
-def _pack_grouped(
-    ids: jax.Array,  # [L] lane gaussian ids (sentinel N)
-    gtile: jax.Array,  # [G] local tile per group
-    tile0: jax.Array,  # [] global tile offset of the local grid
     xys: jax.Array,
     conics: jax.Array,
     colors: jax.Array,
@@ -133,30 +88,31 @@ def _pack_grouped(
     block_w: int,
     block_h: int,
 ) -> jax.Array:
-    """Gather per-lane splat params + per-lane tile origins, [16, L].
+    """Gather per-lane splat params + tile origins/ids, [16, S] param-major.
 
-    Rows: 0:x 1:y 2:c1 3:c2 4:c3 5:opac 6:r 7:g 8:b 9:ox 10:oy (rest 0).
-    Sentinel ids (== N) gather a zero row whose opac=0 keeps the lane below
-    the alpha cutoff.
+    Rows: 0:x 1:y 2:c1 3:c2 4:c3 5:opac 6:r 7:g 8:b 9:ox 10:oy 11:tile.
+    Sentinel gaussian ids (== N) gather a zero row whose opac=0 keeps the
+    lane below the alpha cutoff regardless of its tile slot.
     """
-    zrow = lambda a: jnp.concatenate([a, jnp.zeros((1,) + a.shape[1:], a.dtype)])
+    ids, tiles = binned.sorted_gauss_ids, binned.sorted_tile_ids
+    cat = jnp.concatenate(
+        [xys, conics, opacity.reshape(-1, 1), colors[:, :3]], axis=1
+    )  # [N, 9]
+    cat = jnp.concatenate([cat, jnp.zeros((1, 9), cat.dtype)])
+    rows = cat[ids]  # [S, 9] one gather
+    tx = (tiles % tb_x).astype(jnp.float32) * block_w
+    ty = (tiles // tb_x).astype(jnp.float32) * block_h
     rows = jnp.concatenate(
         [
-            zrow(xys)[ids],
-            zrow(conics)[ids],
-            zrow(opacity.reshape(-1, 1))[ids],
-            zrow(colors[:, :3])[ids],
+            rows,
+            tx[:, None],
+            ty[:, None],
+            tiles.astype(jnp.float32)[:, None],
         ],
         axis=1,
-    )  # [L, 9]
-    gt_global = gtile + tile0
-    ox = ((gt_global % tb_x) * block_w).astype(jnp.float32)
-    oy = ((gt_global // tb_x) * block_h).astype(jnp.float32)
-    ox_l = jnp.repeat(ox, GROUP)[:, None]
-    oy_l = jnp.repeat(oy, GROUP)[:, None]
-    rows = jnp.concatenate([rows, ox_l, oy_l], axis=1)  # [L, 11]
+    )  # [S, 12]
     rows = jnp.pad(rows, ((0, 0), (0, DATA_ROWS - rows.shape[1])))
-    return rows.T  # [16, L]
+    return rows.T  # [16, S]
 
 
 def _pixel_features(block_w: int, block_h: int):
@@ -175,13 +131,13 @@ def _pixel_features(block_w: int, block_h: int):
 
 
 def _splat_features(d):
-    """B[6, W]: per-splat quadratic coefficients in tile-local coords.
+    """B[6, C]: per-splat quadratic coefficients in tile-local coords.
 
     sigma[p, k] = A[p] . B[k] with A from `_pixel_features`:
       sigma = 0.5*c1*(gx-px)^2 + 0.5*c3*(gy-py)^2 + c2*(gx-px)*(gy-py)
     expanded around each lane's OWN tile origin (rows 9, 10). Turns the
     per-pixel-per-splat quadratic into one MXU matmul instead of ~10 VPU
-    ops on [pix, W].
+    ops on [pix, C].
     """
     gx = d[0:1, :] - d[9:10, :]
     gy = d[1:2, :] - d[10:11, :]
@@ -206,22 +162,21 @@ def _dot(a, b, dims):
     )
 
 
-def _group_mask():
-    """Static [NG*OUT_CH, WINDOW] mask: row (g, c) selects lanes of group g."""
-    row_g = jax.lax.broadcasted_iota(
-        jnp.int32, (NG * OUT_CH, WINDOW), 0
-    ) // OUT_CH
-    lane_g = jax.lax.broadcasted_iota(
-        jnp.int32, (NG * OUT_CH, WINDOW), 1
-    ) // GROUP
-    return (row_g == lane_g).astype(jnp.float32)
+def _row_selectors(r_out: int):
+    """Static [R_OUT, 1] helpers: row's tile index and channel one-hots."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (r_out, 1), 0)
+    row_t = idx // 3
+    row_c = idx % 3
+    s0 = (row_c == 0).astype(jnp.float32)
+    s1 = (row_c == 1).astype(jnp.float32)
+    s2 = (row_c == 2).astype(jnp.float32)
+    return row_t, s0, s1, s2
 
 
-def _window_eval(d, block_w: int, block_h: int):
-    """Shared forward math on one [16, WINDOW] data block."""
-    A = _pixel_features(block_w, block_h)
+def _chunk_eval(d, A, block_w: int, block_h: int):
+    """Shared forward math on one [16, CHUNK] data block."""
     gx, gy, c1, c2, c3, B = _splat_features(d)
-    sigma = _dot(A, B, ((1,), (0,)))  # [pix, W] MXU
+    sigma = _dot(A, B, ((1,), (0,)))  # [pix, C] MXU
     vis = jnp.exp(-sigma)
     alpha_u = d[5:6, :] * vis
     alpha = jnp.minimum(1.0, alpha_u)
@@ -229,115 +184,179 @@ def _window_eval(d, block_w: int, block_h: int):
     return gx, gy, c1, c2, c3, sigma, vis, alpha_u, alpha, valid
 
 
-def _rexp(d, mask):
-    """[NG*OUT_CH, W] group-masked color matrix: row (g,c) = rgb[c] on g."""
-    rgb4 = jnp.concatenate(
-        [d[6:9, :], jnp.zeros((1, WINDOW), jnp.float32)], axis=0
-    )
-    return jnp.concatenate([rgb4] * NG, axis=0) * mask
+def _tile_mask_and_rgb(d, row_t, s0, s1, s2, tile0):
+    """[R_OUT, CHUNK] lane-tile mask and tile-masked color matrix."""
+    lt = d[11:12, :].astype(jnp.int32) - tile0  # [1, C] local tile
+    mask = row_t == lt
+    rgb_sel = s0 * d[6:7, :] + s1 * d[7:8, :] + s2 * d[8:9, :]
+    return mask, jnp.where(mask, rgb_sel, 0.0)
 
 
 def _forward_kernel(
-    wlive_ref, d_ref, out_ref, *, block_w: int, block_h: int
+    row0_ref, rls_ref,  # scalar prefetch
+    data_ref,  # [16, S] in ANY (HBM), manually chunk-DMA'd
+    out_ref,  # [R_OUT, pix] VMEM block for this tile row
+    buf, sem,  # scratch: [2, 16, CHUNK] VMEM, DMA sems (2,)
+    *, tb_x: int, block_w: int, block_h: int,
 ):
-    j = pl.program_id(0)
-    # windows holding only sentinel groups skip their math entirely
-    live = wlive_ref[j] > 0
+    s = pl.program_id(0)
+    r = row0_ref[0] + s
+    base = pl.multiple_of(rls_ref[r], CHUNK)
+    n_chunks = (rls_ref[r + 1] - rls_ref[r]) // CHUNK
+    tile0 = r * tb_x
+    A = _pixel_features(block_w, block_h)
+    row_t, s0, s1, s2 = _row_selectors(out_ref.shape[0])
 
-    @pl.when(live)
-    def _compute():
-        d = d_ref[...]
-        _gx, _gy, _c1, _c2, _c3, _sig, _vis, _au, alpha, valid = _window_eval(
-            d, block_w, block_h
+    def in_dma(slot, c):
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            buf.at[slot],
+            sem.at[slot],
         )
-        w = jnp.where(valid, alpha, 0.0)  # [pix, W]
-        Rexp = _rexp(d, _group_mask())  # [NG*4, W]
-        # out[(g, c), p] = sum_k Rexp[(g,c), k] * w[p, k]  (MXU)
-        out_ref[...] = _dot(Rexp, w, ((1,), (1,)))  # [NG*4, pix]
 
-    @pl.when(jnp.logical_not(live))
-    def _skip():
-        out_ref[...] = jnp.zeros_like(out_ref)
+    @pl.when(n_chunks > 0)
+    def _start():
+        in_dma(0, 0).start()
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _prefetch():
+            in_dma(1 - slot, c + 1).start()
+
+        in_dma(slot, c).wait()
+        d = buf[slot]
+        _gx, _gy, _c1, _c2, _c3, _sig, _vis, _au, alpha, valid = _chunk_eval(
+            d, A, block_w, block_h
+        )
+        w = jnp.where(valid, alpha, 0.0)  # [pix, C]
+        _mask, rexp = _tile_mask_and_rgb(d, row_t, s0, s1, s2, tile0)
+        # acc[(t, ch), p] += sum_k rexp[(t,ch), k] * w[p, k]  (MXU)
+        out_ref[...] += _dot(rexp, w, ((1,), (1,)))
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _backward_kernel(
-    gtile_ref,  # scalar prefetch [G] (drives the vout index maps)
-    wlive_ref,  # scalar prefetch [n_windows]
-    d_ref,  # [16, W] data block (streamed j -> j)
-    *refs,  # NG vout blocks [1, OUT_CH, pix] then vdata_ref [16, W]
-    block_w: int,
-    block_h: int,
+    row0_ref, rls_ref,  # scalar prefetch
+    data_ref,  # [16, S] ANY
+    vout_ref,  # [R_OUT, pix] VMEM block: this tile row's image gradient
+    vdata_ref,  # [16, S] ANY output, chunk-DMA'd back
+    buf, vbuf, sem_in, sem_out,
+    *, tb_x: int, block_w: int, block_h: int,
 ):
-    vout_refs, vdata_ref = refs[:NG], refs[NG]
-    j = pl.program_id(0)
-    live = wlive_ref[j] > 0
+    s = pl.program_id(0)
+    r = row0_ref[0] + s
+    base = pl.multiple_of(rls_ref[r], CHUNK)
+    n_chunks = (rls_ref[r + 1] - rls_ref[r]) // CHUNK
+    tile0 = r * tb_x
+    A = _pixel_features(block_w, block_h)
+    row_t, s0, s1, s2 = _row_selectors(vout_ref.shape[0])
+    vout = vout_ref[...]
 
-    @pl.when(live)
-    def _compute():
-        d = d_ref[...]
-        A = _pixel_features(block_w, block_h)
-        gx, gy, c1, c2, c3, sigma, vis, alpha_u, alpha, valid = _window_eval(
-            d, block_w, block_h
+    def in_dma(slot, c):
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            buf.at[slot],
+            sem_in.at[slot],
         )
-        pix = block_w * block_h
-        # Vexp[(g, c), p]: the NG group tiles' output gradients, stacked in
-        # the same row order as Rexp.
-        Vexp = jnp.concatenate(
-            [r[...].reshape(OUT_CH, pix) for r in vout_refs], axis=0
-        )  # [NG*4, pix]
-        mask = _group_mask()
-        Rexp = _rexp(d, mask)
-        # v_alpha[p, k] = sum_c rgb[c, k] * v_out_{tile(k)}[c, p]
-        # (backward.cu:826-829), via the group-blocked matmul.
+
+    def out_dma(slot, c):
+        return pltpu.make_async_copy(
+            vbuf.at[slot],
+            vdata_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            sem_out.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _start():
+        in_dma(0, 0).start()
+
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _prefetch():
+            in_dma(1 - slot, c + 1).start()
+
+        in_dma(slot, c).wait()
+        # the vbuf slot must be free before overwriting (its DMA from two
+        # chunks ago has to have drained)
+        @pl.when(c >= 2)
+        def _drain():
+            out_dma(slot, c - 2).wait()
+
+        d = buf[slot]
+        gx, gy, c1, c2, c3, sigma, vis, alpha_u, alpha, valid = _chunk_eval(
+            d, A, block_w, block_h
+        )
+        mask, rexp = _tile_mask_and_rgb(d, row_t, s0, s1, s2, tile0)
+        # v_alpha[p, k] = sum_ch rgb[ch, k] * v_out_{tile(k)}[ch, p]
+        # (backward.cu:826-829), via the tile-blocked matmul.
         v_alpha = jnp.where(
-            valid, _dot(Vexp, Rexp, ((0,), (0,))), 0.0
-        )  # [pix, W]
+            valid, _dot(vout, rexp, ((0,), (0,))), 0.0
+        )  # [pix, C]
         v_sigma = -alpha_u * v_alpha  # min(1,.) clamp is forward-only
-        vB = _dot(A, v_sigma, ((0,), (0,)))  # [6, W] MXU
-        vB0, vB1, vB2 = vB[0:1, :], vB[1:2, :], vB[2:3, :]
+        vB = _dot(A, v_sigma, ((0,), (0,)))  # [6, C] MXU
         vB3, vB4, vB5 = vB[3:4, :], vB[4:5, :], vB[5:6, :]
-        v_c1 = 0.5 * (vB0 + gx * (gx * vB5 - 2.0 * vB3))
-        v_c3 = 0.5 * (vB1 + gy * (gy * vB5 - 2.0 * vB4))
-        v_c2 = vB2 - gy * vB3 - gx * vB4 + gx * gy * vB5
+        v_c1 = 0.5 * (vB[0:1, :] + gx * (gx * vB5 - 2.0 * vB3))
+        v_c3 = 0.5 * (vB[1:2, :] + gy * (gy * vB5 - 2.0 * vB4))
+        v_c2 = vB[2:3, :] - gy * vB3 - gx * vB4 + gx * gy * vB5
         v_x = -c1 * vB3 - c2 * vB4 + (c1 * gx + c2 * gy) * vB5
         v_y = -c2 * vB3 - c3 * vB4 + (c3 * gy + c2 * gx) * vB5
-        v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)  # [1, W]
+        v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)  # [1, C]
         w = jnp.where(valid, alpha, 0.0)
-        # M[(g, c), k] = sum_p Vexp[(g,c), p] * w[p, k]; lane k only needs
-        # its own group's rows -> group-mask, fold rows by static selector.
-        M = _dot(Vexp, w, ((1,), (0,))) * mask  # [NG*4, W]
-        sel_c = jax.lax.broadcasted_iota(jnp.int32, (3, NG * OUT_CH), 0)
-        sel_r = jax.lax.broadcasted_iota(
-            jnp.int32, (3, NG * OUT_CH), 1
-        ) % OUT_CH
-        S = (sel_c == sel_r).astype(jnp.float32)  # [3, NG*4]
-        v_rgb = _dot(S, M, ((1,), (0,)))  # [3, W]
-        pad = jnp.zeros((DATA_ROWS - 9, WINDOW), jnp.float32)
-        vdata_ref[...] = jnp.concatenate(
-            [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_rgb, pad], axis=0
+        # M[(t, ch), k] = sum_p vout[(t,ch), p] * w[p, k]; lane k keeps only
+        # its own tile's rows -> mask, fold rows by channel one-hots.
+        M = jnp.where(mask, _dot(vout, w, ((1,), (0,))), 0.0)  # [R_OUT, C]
+        v_r = jnp.sum(M * s0, axis=0, keepdims=True)
+        v_g = jnp.sum(M * s1, axis=0, keepdims=True)
+        v_b = jnp.sum(M * s2, axis=0, keepdims=True)
+        pad = jnp.zeros((DATA_ROWS - 9, CHUNK), jnp.float32)
+        vbuf[slot] = jnp.concatenate(
+            [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_r, v_g, v_b, pad], axis=0
         )
+        out_dma(slot, c).start()
+        return carry
 
-    @pl.when(jnp.logical_not(live))
-    def _skip():
-        vdata_ref[...] = jnp.zeros_like(vdata_ref)
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    @pl.when(n_chunks >= 1)
+    def _final1():
+        out_dma(jax.lax.rem(n_chunks - 1, 2), n_chunks - 1).wait()
+
+    @pl.when(n_chunks >= 2)
+    def _final2():
+        out_dma(jax.lax.rem(n_chunks - 2, 2), n_chunks - 2).wait()
 
 
-def _tiles_to_image(tiles, img_height, img_width, tb_x, tb_y, block_w, block_h):
-    """[T, 3, pix] tile blocks -> [h, W, 3] image crop."""
-    img = tiles.reshape(tb_y, tb_x, 3, block_h, block_w)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(3, tb_y * block_h, tb_x * block_w)
-    return img[:, :img_height, :img_width].transpose(1, 2, 0)
+def _rows_to_image(out, num_rows, tb_x, block_w, block_h, img_h, img_w):
+    """[num_rows * R_OUT, pix] row blocks -> [img_h, img_w, 3] image."""
+    r_out = out.shape[0] // num_rows
+    pix = block_w * block_h
+    t = out.reshape(num_rows, r_out, pix)[:, : 3 * tb_x, :]
+    t = t.reshape(num_rows, tb_x, 3, block_h, block_w)
+    img = t.transpose(0, 3, 1, 4, 2).reshape(
+        num_rows * block_h, tb_x * block_w, 3
+    )
+    return img[:img_h, :img_w, :]
 
 
-def _image_to_vtiles(g, tb_x, tb_y, block_w, block_h):
-    """[h, W, 3] grad -> [T + 1, OUT_CH, pix] with a zero sentinel block."""
-    h_pad = tb_y * block_h - g.shape[0]
+def _image_to_vrows(g, num_rows, r_out, tb_x, block_w, block_h):
+    """[h, w, 3] grad -> [num_rows * R_OUT, pix] tile-row blocks."""
+    h_pad = num_rows * block_h - g.shape[0]
     w_pad = tb_x * block_w - g.shape[1]
-    gp = jnp.pad(g, ((0, h_pad), (0, w_pad), (0, 0))).transpose(2, 0, 1)
-    gp = gp.reshape(3, tb_y, block_h, tb_x, block_w).transpose(1, 3, 0, 2, 4)
-    gp = gp.reshape(tb_y * tb_x, 3, block_h * block_w)
-    gp = jnp.pad(gp, ((0, 1), (0, OUT_CH - 3), (0, 0)))  # sentinel + ch pad
-    return gp
+    gp = jnp.pad(g, ((0, h_pad), (0, w_pad), (0, 0)))
+    gp = gp.reshape(num_rows, block_h, tb_x, block_w, 3)
+    gp = gp.transpose(0, 2, 4, 1, 3).reshape(
+        num_rows, 3 * tb_x, block_h * block_w
+    )
+    gp = jnp.pad(gp, ((0, 0), (0, r_out - 3 * tb_x), (0, 0)))
+    return gp.reshape(num_rows * r_out, block_h * block_w)
 
 
 def rasterize_pallas(
@@ -386,128 +405,97 @@ def _forward_impl(
     binned, xys, conics, colors, opacity, row0,
     img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
 ):
-    tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
-    num_tiles = tb_x * num_rows
+    tb_x = int(tile_bounds[0])
     pix = block_w * block_h
-    max_intersects = binned.sorted_gauss_ids.shape[0]
-    max_groups = default_max_groups(max_intersects, num_tiles)
-    n_windows = max_groups // NG
-    n = xys.shape[0]
-
-    tile0_scalar = (row0 * tb_x).astype(jnp.int32)
-    ids, gtile = _local_groups(binned, tile0_scalar, num_tiles, n, max_groups)
-    wlive = (
-        (gtile.reshape(n_windows, NG) < num_tiles).any(axis=1)
-    ).astype(jnp.int32)
-    data = _pack_grouped(
-        ids, gtile, tile0_scalar, xys, conics, colors, opacity,
-        tb_x, block_w, block_h,
-    )  # [16, G*GROUP]
+    r_out = _round8(3 * tb_x)
+    data = _pack_lanes(
+        binned, xys, conics, colors, opacity, tb_x, block_w, block_h
+    )  # [16, S]
 
     kernel = functools.partial(
-        _forward_kernel, block_w=block_w, block_h=block_h
+        _forward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_windows,),
-        in_specs=[
-            pl.BlockSpec(
-                (DATA_ROWS, WINDOW), lambda j, wl: (0, j),
-                memory_space=pltpu.VMEM,
-            )
-        ],
+        num_scalar_prefetch=2,
+        grid=(num_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (NG * OUT_CH, pix), lambda j, wl: (j, 0),
-            memory_space=pltpu.VMEM,
+            (r_out, pix), lambda s, r0, rls: (s, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, DATA_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (n_windows * NG * OUT_CH, pix), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((num_rows * r_out, pix), jnp.float32),
         interpret=INTERPRET,
-    )(wlive, data)
+    )(row0.reshape(1), binned.row_lane_start, data)
 
-    # group -> tile reduction (sorted segments, ~1.1 groups per tile), then
-    # tile blocks -> image.
-    out_g = out.reshape(max_groups, OUT_CH, pix)[:, :3, :]
-    tiles = jax.ops.segment_sum(
-        out_g.reshape(max_groups, 3 * pix), gtile,
-        num_segments=num_tiles + 1, indices_are_sorted=True,
-    )[:num_tiles].reshape(num_tiles, 3, pix)
-    out_h = num_rows * block_h if num_rows != tb_y else img_height
-    img = _tiles_to_image(
-        tiles, out_h, img_width, tb_x, num_rows, block_w, block_h
+    partial_shard = num_rows != int(tile_bounds[1])
+    out_h = num_rows * block_h if partial_shard else img_height
+    img = _rows_to_image(
+        out, num_rows, tb_x, block_w, block_h, out_h, img_width
     )
-    return img, (ids, gtile, data)
+    return img, data
 
 
 def _rasterize_fwd(
     binned, xys, conics, colors, opacity, row0,
     img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
 ):
-    img, (ids, gtile, data) = _forward_impl(
+    img, data = _forward_impl(
         binned, xys, conics, colors, opacity, row0,
         img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
     )
-    return img, (binned, ids, gtile, data, xys.shape[0], row0)
+    return img, (binned, data, xys.shape[0], row0)
 
 
 def _rasterize_bwd(
     img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
     residuals, g,
 ):
-    binned, ids, gtile, data, n, row0 = residuals
+    binned, data, n, row0 = residuals
     tb_x = int(tile_bounds[0])
-    num_tiles = tb_x * num_rows
     pix = block_w * block_h
-    max_groups = gtile.shape[0]
-    n_windows = max_groups // NG
-    wlive = (
-        (gtile.reshape(n_windows, NG) < num_tiles).any(axis=1)
-    ).astype(jnp.int32)
-    vtiles = _image_to_vtiles(g, tb_x, num_rows, block_w, block_h)
+    r_out = _round8(3 * tb_x)
+    vrows = _image_to_vrows(g, num_rows, r_out, tb_x, block_w, block_h)
 
     kernel = functools.partial(
-        _backward_kernel, block_w=block_w, block_h=block_h
+        _backward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h
     )
-    # NG gradient blocks per window, indexed by the groups' tile ids
-    # (sentinel groups hit the zero block at num_tiles).
-    def _vout_map(i):
-        def index_map(j, gt, wl):
-            return (gt[j * NG + i], 0, 0)
-
-        return index_map
-
-    vout_specs = [
-        pl.BlockSpec((1, OUT_CH, pix), _vout_map(i), memory_space=pltpu.VMEM)
-        for i in range(NG)
-    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_windows,),
+        grid=(num_rows,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (DATA_ROWS, WINDOW), lambda j, gt, wl: (0, j),
+                (r_out, pix), lambda s, r0, rls: (s, 0),
                 memory_space=pltpu.VMEM,
             ),
-            *vout_specs,
         ],
-        out_specs=pl.BlockSpec(
-            (DATA_ROWS, WINDOW), lambda j, gt, wl: (0, j),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, DATA_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, DATA_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     vdata = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(data.shape, jnp.float32),
         interpret=INTERPRET,
-    )(gtile, wlive, data, *([vtiles] * NG))
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(row0.reshape(1), binned.row_lane_start, data, vrows)
 
-    # Reduce per-lane grads to per-splat grads (sentinel id n drops).
+    # Reduce per-lane grads to per-splat grads. Sentinel id n (padding,
+    # beyond-cap, budget-dropped AND never-DMA'd tail lanes, whose vdata is
+    # uninitialized) lands in segment n and is sliced off.
+    ids = binned.sorted_gauss_ids
     seg = jax.ops.segment_sum(vdata.T, ids, num_segments=n + 1)[:n]
     v_xys = seg[:, 0:2]
     v_conics = seg[:, 2:5]
