@@ -7,14 +7,14 @@ forward renders of a trained-size splat model at 1920x1080
 claims 1500 fps on GPU). The forward here is the FULL model forward —
 projection, tile binning, and the Pallas rasterizer — not just the kernel.
 
-Measurement method: a CHAINED loop — each iteration's input depends on the
-previous iteration's output — timed as total/N with one device sync at the
-end. On tunneled/relayed backends, per-call `block_until_ready` is unreliable
-in BOTH directions (it returns early for already-finished work and quantizes
-to a coarse polling interval otherwise); chaining forces the device to
-serialize the iterations, so total/N is a true per-iteration device time
-regardless of host-side dispatch behavior. The chain perturbation is
-epsilon-scaled to zero so every iteration renders the identical scene.
+Measurement method: a CHAINED loop INSIDE one jitted lax.fori_loop — each
+iteration's input depends on the previous iteration's output, so the device
+serializes them, and per-call dispatch overhead (which the axon relay
+inflates to ~1 ms/call and which varies run to run) amortizes over the whole
+loop. The chain perturbation is `m + pixel * 0.0`, which XLA preserves
+(f32 x*0 is not folded, NaN semantics) and adds exactly zero, so every
+iteration renders the identical scene. Timed as total/N over several outer
+calls with one final sync.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Run on the real TPU (default env). Options: --num-points, --iters, --backend.
@@ -24,23 +24,6 @@ import argparse
 import json
 import time
 
-import numpy as np
-
-
-def chained_time(fn, x0, iters, warmup=2):
-    """Mean seconds/iter of x -> fn(x), serialized by data dependency."""
-    import jax
-
-    x = x0
-    for _ in range(warmup):
-        x = fn(x)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -48,16 +31,19 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--outer", type=int, default=3)
     ap.add_argument("--train-iters", type=int, default=50)
     ap.add_argument("--backend", type=str, default="pallas")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from gsvc_tpu.ops.projection import project_gaussians_2d
     from gsvc_tpu.ops.rasterize import rasterize_gaussians_sum
     from gsvc_tpu.optim.adan import adan_init, adan_step
+    from gsvc_tpu.utils.profiling import device_loop_time
 
     H, W, n = args.height, args.width, args.num_points
     tb = ((W + 15) // 16, (H + 15) // 16, 1)
@@ -84,18 +70,22 @@ def main():
         )
         return jnp.clip(img, 0.0, 1.0)
 
-    @jax.jit
     def render_chained(m):
         img = forward(m, L, colors)
-        return m + img[0, 0, 0] * 0.0  # serialize; adds exactly zero
+        # Fold the FULL image sum into the chain: folding one pixel lets XLA
+        # slice away the untile/clip stages entirely (DCE through reshapes),
+        # under-measuring the forward. f32 * 0.0 is preserved (NaN
+        # semantics) and adds exactly zero.
+        return m + jnp.sum(img) * 0.0
 
-    dt = chained_time(render_chained, means, args.iters)
+    dt = device_loop_time(
+        render_chained, means, reps=args.iters, outer=args.outer
+    )
     fps = 1.0 / dt
 
     # full training step (fwd + bwd + Adan), chained naturally via params
     target = jnp.zeros((H, W, 3), jnp.float32)
 
-    @jax.jit
     def train_step(carry):
         params, state = carry
 
@@ -108,8 +98,8 @@ def main():
 
     params = {"m": means, "l": L, "c": colors}
     state = adan_init(params)
-    dt_train = chained_time(
-        lambda c: train_step(c), (params, state), args.train_iters, warmup=1
+    dt_train = device_loop_time(
+        train_step, (params, state), reps=args.train_iters, outer=2
     )
 
     n_isect = int(

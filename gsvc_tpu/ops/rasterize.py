@@ -122,7 +122,16 @@ def rasterize_gaussians_sum(
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
-    img = jnp.where(total < 1, background[None, None, :].astype(img.dtype), img)
+    # zero-intersect fast path (rasterize_sum.py:121-129): a lax.cond so the
+    # common case pays a branch, not a whole-image select pass
+    img = jax.lax.cond(
+        total < 1,
+        lambda im: jnp.broadcast_to(
+            background[None, None, :].astype(im.dtype), im.shape
+        ),
+        lambda im: im,
+        img,
+    )
     if return_alpha:
         return img, jnp.zeros(img.shape[:2], img.dtype)
     return img

@@ -58,6 +58,37 @@ def time_fn(
     return (time.perf_counter() - t0) / iters
 
 
+def device_loop_time(
+    fn: Callable,
+    x0,
+    reps: int = 100,
+    outer: int = 3,
+) -> float:
+    """Mean seconds per iteration of the type-preserving chain x -> fn(x),
+    measured with the repetition INSIDE one jitted lax.fori_loop.
+
+    This is the only honest per-op timing through a relayed/tunneled
+    backend: per-call dispatch (which the relay inflates to ~1 ms and which
+    varies run to run) amortizes over `reps` device-side iterations, and the
+    data dependency serializes them. `fn` must keep NaN-safe float semantics
+    in its chain fold (XLA does not fold f32 x*0 -> 0, so `x + leaf * 0.0`
+    survives; integer folds would be eliminated).
+    """
+    import jax.numpy as jnp  # noqa: F401 (kept for parity with callers)
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, reps, lambda i, xx: fn(xx), x)
+
+    x = run(x0)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(outer):
+        x = run(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / (reps * outer)
+
+
 class StepTimer:
     """Per-phase wall-clock accumulator for driver-level observability.
 

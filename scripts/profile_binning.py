@@ -19,18 +19,12 @@ import time
 import numpy as np
 
 
-def chained(fn, x0, iters=50, warmup=2):
-    import jax
+def chained(fn, x0, iters=50, warmup=None):
+    """ms/iter via in-jit fori_loop chaining (relay-dispatch-immune)."""
+    del warmup
+    from gsvc_tpu.utils.profiling import device_loop_time
 
-    x = x0
-    for _ in range(warmup):
-        x = fn(x)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return device_loop_time(fn, x0, reps=iters, outer=3) * 1e3
 
 
 def main():
@@ -71,8 +65,10 @@ def main():
     it = args.iters
 
     def fold(x, out):
-        leaf = jax.tree.leaves(out)[0]
-        return x + leaf.reshape(-1)[0].astype(x.dtype) * 0
+        tot = jnp.float32(0)
+        for leaf in jax.tree.leaves(out):
+            tot = tot + jnp.sum(leaf.astype(jnp.float32))
+        return x + tot * 0.0
 
     def prep(x):
         radius_f = radii.astype(x.dtype)
@@ -148,14 +144,14 @@ def main():
         return st, sg, tile_counts
 
     stages = {
-        "prep": lambda x: fold(x, prep(x)[0]),
-        "seed": lambda x: fold(x, seed_of(x)[0]),
-        "fill": lambda x: fold(x, fill_of(x)[0]),
-        "decode": lambda x: fold(x, decode_of(x)[0]),
-        "counts": lambda x: fold(x, counts_of(x)[2]),
-        "sort": lambda x: fold(x, sort_of(x)[0]),
+        "prep": lambda x: fold(x, prep(x)),
+        "seed": lambda x: fold(x, seed_of(x)),
+        "fill": lambda x: fold(x, fill_of(x)),
+        "decode": lambda x: fold(x, decode_of(x)),
+        "counts": lambda x: fold(x, counts_of(x)),
+        "sort": lambda x: fold(x, sort_of(x)),
         "full": lambda x: fold(
-            x, bin_gaussians(x, radii, nth, tb, 16, 16, mi).sorted_tile_ids
+            x, bin_gaussians(x, radii, nth, tb, 16, 16, mi)
         ),
     }
     for name, f in stages.items():

@@ -1,19 +1,20 @@
 """Chained (relay-honest) decomposition of the 1080p eval forward.
 
-Each stage is timed with a data-dependency-chained loop (iteration i+1's
-input folds in a scalar from iteration i's output; one sync at the end), the
-only timing method that is trustworthy through the axon relay. Stages:
+Each stage is a CUMULATIVE PREFIX of the forward pipeline, timed with a
+data-dependency-chained in-jit fori_loop (the only method trustworthy
+through the axon relay — per-call dispatch amortizes over device-side
+iterations). Every stage folds the FULL SUM of its outputs into the chain
+so XLA cannot dead-code-eliminate any upstream op (folding a single output
+element lets XLA slice whole stages away — e.g. tile_counts no longer
+depends on the sort, so a counts-fold measured binning without sorting).
 
-  proj       projection only
-  bin        bin_gaussians (includes the lax.sort)
-  sort       the uint32 combined-key sort alone at the binning's length
-  pack       _pack_lanes gather
-  kernel     the Pallas forward kernel alone on pre-packed data
-  full       the whole forward (projection+binning+rasterize)
-  fwd+bwd    forward + rasterizer VJP (prebinned)
-  train      full train step (fwd+bwd+loss+adan)
-
-Also verifies pallas == binned on the device before timing.
+Stage deltas therefore give honest per-stage costs:
+  proj                       projection
+  +bin                       + full binning (expansion, sort, starts, cap)
+  +pack                      + lane gather/pack
+  +kernel                    + Pallas forward kernel
+  +image                     + rows->image + background select (= full API)
+  train                      full train step (fwd+bwd+loss+adan)
 
 Run ON TPU: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_fwd_chain.py
 """
@@ -25,18 +26,11 @@ import time
 import numpy as np
 
 
-def chained(fn, x0, iters=50, warmup=2):
-    import jax
+def chained(fn, x0, iters=50):
+    """ms/iter via in-jit fori_loop chaining (relay-dispatch-immune)."""
+    from gsvc_tpu.utils.profiling import device_loop_time
 
-    x = x0
-    for _ in range(warmup):
-        x = fn(x)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return device_loop_time(fn, x0, reps=iters, outer=3) * 1e3
 
 
 def main():
@@ -80,9 +74,15 @@ def main():
     opacity = jnp.ones((n, 1), jnp.float32)
     it = args.iters
 
-    def fold(x, out):  # chain: fold a zero derived from out into x
-        leaf = jax.tree.leaves(out)[0]
-        return x + leaf.reshape(-1)[0].astype(x.dtype) * 0
+    def fullsum(tree) -> jax.Array:
+        """Scalar f32 depending on EVERY element of every leaf (DCE-proof)."""
+        tot = jnp.float32(0)
+        for leaf in jax.tree.leaves(tree):
+            tot = tot + jnp.sum(leaf.astype(jnp.float32))
+        return tot
+
+    def fold(x, tree):
+        return x + fullsum(tree) * 0.0
 
     if not args.skip_check:
         imgs = {}
@@ -97,55 +97,23 @@ def main():
         print(f"pallas vs binned on device: max abs err {err:.3e}")
         assert err < 1e-4, err
 
-    # --- proj
-    @jax.jit
-    def f_proj(m):
+    # ---- cumulative prefixes -------------------------------------------
+    def p_proj(m):
         out = project_gaussians_2d(m, L, H, W, tb)
-        return fold(m, out[0])
+        return out, fullsum(out)
 
-    t_proj = chained(f_proj, means, it)
+    def p_bin(m):
+        (xys, d, radii, conics, nth), acc = p_proj(m)
+        binned = bin_gaussians(xys, radii, nth, tb, 16, 16, mi)
+        return (binned, xys, conics), acc + fullsum(binned)
 
-    xys, d, radii, conics, nth = jax.jit(
-        lambda m: project_gaussians_2d(m, L, H, W, tb)
-    )(means)
+    def p_pack(m):
+        (binned, xys, conics), acc = p_bin(m)
+        data = rp._pack_lanes(binned, xys, conics, colors, opacity, tb_x, 16, 16)
+        return (binned, data), acc + fullsum(data)
 
-    # --- bin
-    @jax.jit
-    def f_bin(x):
-        b = bin_gaussians(x, radii, nth, tb, 16, 16, mi)
-        return fold(x, b.tile_counts.astype(jnp.float32))
-
-    t_bin = chained(f_bin, xys, it)
-
-    # --- u32 single-array sort at the binning's length
-    sort_len = mi + (rp.CHUNK - 1) * tb_y
-    comb0 = jnp.asarray(rng.integers(0, 2**31 - 1, sort_len), jnp.uint32)
-
-    @jax.jit
-    def f_sortu32(k):
-        return k + jax.lax.sort(k, is_stable=False)[0] * 0
-
-    t_sort32 = chained(f_sortu32, comb0, it)
-
-    binned = jax.jit(
-        lambda x: bin_gaussians(x, radii, nth, tb, 16, 16, mi)
-    )(xys)
-
-    # --- pack
-    @jax.jit
-    def f_pack(x):
-        data = rp._pack_lanes(binned, x, conics, colors, opacity, tb_x, 16, 16)
-        return fold(x, data)
-
-    t_pack = chained(f_pack, xys, it)
-
-    data0 = jax.jit(
-        lambda: rp._pack_lanes(binned, xys, conics, colors, opacity, tb_x, 16, 16)
-    )()
-
-    # --- kernel alone
-    pix = 256
     r_out = rp._round8(3 * tb_x)
+    pix = 256
     kernel = functools.partial(
         rp._forward_kernel, tb_x=tb_x, block_w=16, block_h=16
     )
@@ -163,50 +131,50 @@ def main():
     )
     row0 = jnp.zeros((1,), jnp.int32)
 
-    @jax.jit
-    def f_kernel(dd):
+    def p_kernel(m):
+        (binned, data), acc = p_pack(m)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((tb_y * r_out, pix), jnp.float32),
-        )(row0, binned.row_lane_start, dd)
-        return fold(dd, out)
+        )(row0, binned.row_lane_start, data)
+        return out, acc + fullsum(out)
 
-    t_kernel = chained(f_kernel, data0, it)
+    def p_image(m):
+        xys, d, radii, conics, nth = project_gaussians_2d(m, L, H, W, tb)
+        img = rasterize_gaussians_sum(
+            xys, d, radii, conics, nth, colors, opacity, H, W,
+            backend="pallas",
+        )
+        return img, fullsum(img)
 
-    # --- full forward
+    stages = [
+        ("proj", p_proj),
+        ("+bin", p_bin),
+        ("+pack", p_pack),
+        ("+kernel", p_kernel),
+        ("+image", p_image),
+    ]
+    prev = 0.0
+    results = {}
+    for name, fn in stages:
+        t = chained(lambda m, f=fn: m + f(m)[1] * 0.0, means, it)
+        results[name] = t
+        print(f"{name:8s} {t:8.3f} ms   (delta {t - prev:+7.3f})")
+        prev = t
+
+    t_full = results["+image"]
+    print(f"full -> {1000.0 / t_full:.1f} fps")
+
+    # ---- train step -----------------------------------------------------
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
     def forward(m, l, c):
         xys_, d_, r_, co_, nth_ = project_gaussians_2d(m, l, H, W, tb)
         return rasterize_gaussians_sum(
             xys_, d_, r_, co_, nth_, c, opacity, H, W, backend="pallas"
         )
 
-    @jax.jit
-    def f_full(m):
-        return fold(m, forward(m, L, colors))
-
-    t_full = chained(f_full, means, it)
-
-    # --- rasterizer fwd+bwd via vjp (prebinned)
-    from gsvc_tpu.ops.rasterize_pallas import rasterize_pallas
-
-    @jax.jit
-    def f_fwdbwd(x):
-        out, vjp = jax.vjp(
-            lambda xx, co, c: rasterize_pallas(
-                binned, xx, co, c, opacity, H, W, tb
-            ),
-            x, conics, colors,
-        )
-        vx, _, _ = vjp(jnp.ones((H, W, 3), jnp.float32))
-        return fold(x, vx)
-
-    t_fwdbwd = chained(f_fwdbwd, xys, max(it // 2, 10))
-
-    # --- full train step
-    target = jnp.zeros((H, W, 3), jnp.float32)
-
-    @jax.jit
     def train_step(carry):
         params, state = carry
 
@@ -220,21 +188,21 @@ def main():
 
     params = {"m": means, "l": L, "c": colors}
     state = adan_init(params)
-    t_train = chained(train_step, (params, state), max(it // 2, 10), warmup=1)
+    t_train = chained(train_step, (params, state), max(it // 2, 10))
+    print(f"train    {t_train:8.3f} ms -> {1000.0 / t_train:.1f} it/s")
 
+    binned = jax.jit(
+        lambda m: bin_gaussians(
+            *(lambda pr: (pr[0], pr[2], pr[4]))(
+                project_gaussians_2d(m, L, H, W, tb)
+            ),
+            tb, 16, 16, mi,
+        )
+    )(means)
     print(
         f"n={n} isect={int(binned.num_intersects)} budget={mi} "
-        f"S={static_capacity(mi, tb)} rows={tb_y} sort_len={sort_len}"
+        f"S={static_capacity(mi, tb)} rows={tb_y}"
     )
-    print(f"proj     {t_proj:8.3f} ms")
-    print(f"bin      {t_bin:8.3f} ms")
-    print(f"sortu32  {t_sort32:8.3f} ms   (len {sort_len})")
-    print(f"pack     {t_pack:8.3f} ms")
-    print(f"kernel   {t_kernel:8.3f} ms")
-    print(f"full     {t_full:8.3f} ms -> {1000.0 / t_full:.1f} fps "
-          f"(stage sum {t_proj + t_bin + t_pack + t_kernel:.3f})")
-    print(f"fwd+bwd  {t_fwdbwd:8.3f} ms  (rasterizer vjp, prebinned)")
-    print(f"train    {t_train:8.3f} ms -> {1000.0 / t_train:.1f} it/s")
 
 
 if __name__ == "__main__":

@@ -212,4 +212,84 @@ def test_gradients_against_finite_differences():
             d = np.zeros_like(means)
             d[i, j] = eps
             fd = (float(loss(m0 + d)) - float(loss(m0 - d))) / (2 * eps)
-            np.testing.assert_allclose(g[i, j], fd, rtol=2e-2, atol=2e-6)
+            np.testing.assert_allclose(g[i, j], fd, rtol=2e-2, atol=1e-5)
+
+
+def test_budget_overflow_drops_whole_tail_gaussians():
+    """A too-small budget drops whole trailing gaussians (highest indices),
+    reports the loss in `overflow`, and keeps the layout self-consistent."""
+    H, W = 64, 96
+    means, L, colors, opacity = _scene(300, H, W, seed=7)
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    xys, _, radii, conics, nth = _jit_project(H, W)(means, L)
+    total = int(np.sum(np.asarray(nth)))
+    budget = (total // 2 // 256) * 256 + 256  # force overflow
+    binned = jax.jit(
+        lambda x, r, n_: bin_gaussians(x, r, n_, tb, 16, 16, budget)
+    )(xys, radii, nth)
+    kept = int(binned.num_intersects)
+    over = int(binned.overflow)
+    assert over > 0 and kept + over == total
+    # kept must be the largest prefix of cumulative intersects <= budget
+    cum = np.cumsum(np.asarray(nth))
+    assert kept == int(cum[cum <= budget].max())
+    # per-tile counts must agree with a brute-force rebuild over the prefix
+    n_keep = int(np.searchsorted(cum, budget, side="right"))
+    _, radii_r, _, _, bboxes = project_np(means, L, H, W)
+    counts_ref = np.zeros(tb[0] * tb[1], np.int64)
+    for g in range(n_keep):
+        if radii_r[g] <= 0 or nth[g] <= 0:
+            continue
+        x0, y0, x1, y1 = bboxes[g]
+        counts_ref[
+            np.ravel_multi_index(
+                np.mgrid[y0:y1, x0:x1].reshape(2, -1), (tb[1], tb[0])
+            )
+        ] += 1
+    np.testing.assert_array_equal(np.asarray(binned.tile_counts), counts_ref)
+    # the render over the binned layout == dense render of the kept prefix
+    img_b = jax.jit(
+        lambda: rasterize_gaussians_sum(
+            xys, None, radii, conics, nth,
+            jnp.asarray(colors), jnp.asarray(opacity), H, W,
+            backend="binned", max_intersects=budget,
+        )
+    )()
+    img_ref = rasterize_sum_np(
+        np.asarray(xys)[:n_keep], np.asarray(radii)[:n_keep],
+        np.asarray(conics)[:n_keep], colors[:n_keep],
+        opacity[:n_keep].reshape(-1), H, W,
+    )
+    np.testing.assert_allclose(np.asarray(img_b), img_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_row_superblock_alignment():
+    """Every tile row's lane range is LANE_ALIGN-aligned and contains
+    exactly its tiles' runs plus sentinel-gaussian padding."""
+    from gsvc_tpu.ops.binning import LANE_ALIGN
+
+    H, W = 96, 128
+    n = 400
+    means, L, _, _ = _scene(n, H, W, seed=11)
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    xys, _, radii, conics, nth = _jit_project(H, W)(means, L)
+    I = default_max_intersects(n, tb[0] * tb[1])
+    binned = jax.jit(lambda x, r, n_: bin_gaussians(x, r, n_, tb, 16, 16, I))(
+        xys, radii, nth
+    )
+    rls = np.asarray(binned.row_lane_start)
+    ids = np.asarray(binned.sorted_gauss_ids)
+    tiles = np.asarray(binned.sorted_tile_ids)
+    counts = np.asarray(binned.tile_counts).reshape(tb[1], tb[0])
+    assert np.all(rls % LANE_ALIGN == 0)
+    for r in range(tb[1]):
+        lo, hi = rls[r], rls[r + 1]
+        seg_t = tiles[lo:hi]
+        seg_g = ids[lo:hi]
+        real = seg_g < n
+        # real lanes count matches the row's tile counts and every real
+        # lane's tile belongs to this row
+        assert real.sum() == counts[r].sum()
+        assert np.all(seg_t[real] // tb[0] == r)
+    # tail after the last row is all sentinels
+    assert np.all(ids[rls[tb[1]]:] == n)
