@@ -21,6 +21,7 @@ import numpy as np
 from gsvc_tpu.config import FrameConfig
 from gsvc_tpu.io import generate_video, process_yuv_video
 from gsvc_tpu.models.compress import (
+    compress_overflow,
     fit_compress,
     forward_quantize,
     init_compress_state,
@@ -115,6 +116,14 @@ def main(argv):
         state = fit_compress(state, gt, cfg)
         jax.block_until_ready(state.params.xyz)
         train_time = time.time() - t0
+        overflow = int(compress_overflow(state, cfg))
+        if overflow > 0:
+            print(
+                f"WARNING: frame {frame_num}: intersection budget overflow "
+                f"— {overflow} intersections (whole splats) dropped from "
+                "the render; raise max_intersects",
+                file=sys.stderr,
+            )
 
         bits, img = measure_bits(state, cfg)
         mse = float(jnp.mean((img - gt) ** 2))

@@ -130,6 +130,14 @@ class SimpleTrainer2d:
         train_time = time.time() - t0
         self.state = res.state
         num_points = int(jnp.sum(res.state.alive))
+        overflow = int(res.state.max_overflow)
+        if overflow > 0:
+            print(
+                f"WARNING: frame {self.frame_num}: intersection budget "
+                f"overflow — {overflow} intersections (whole splats) were "
+                "dropped from render AND gradients; raise max_intersects",
+                file=sys.stderr,
+            )
         psnr, msssim, combined_img, img = self.test(ispos)
         # render-only timing loop (train_video_Represent.py:101-106)
         render = jax.jit(

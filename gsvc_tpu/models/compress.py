@@ -41,6 +41,7 @@ from gsvc_tpu.compress.quantizers import (
     uniform_quantize,
     uniform_quantizer_init,
 )
+from gsvc_tpu.ops.binning import budget_overflow, default_max_intersects
 from gsvc_tpu.ops.projection import project_gaussians_2d
 from gsvc_tpu.ops.rasterize import rasterize_gaussians_sum
 from gsvc_tpu.optim.adan import AdanState, adan_init, adan_step
@@ -170,6 +171,30 @@ def forward_quantize(
     )
     img = jnp.clip(img, 0.0, 1.0)
     return img, l_vqc, chol_codes, new_vq
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def compress_overflow(state: CompressState, cfg: FrameConfig) -> jax.Array:
+    """Binning budget overflow of the fitted quantized model ([] int32).
+
+    One cheap post-fit check (ADVICE r2: overflow must not drop splats
+    silently). Uses eval-mode quantized activations, i.e. exactly what
+    measure_bits renders.
+    """
+    means = jnp.tanh(fake_quantize_half(state.params.xyz) + state.p_xyz)
+    uq = UniformQuantParams(scale=state.params.q_scale, beta=state.params.q_beta)
+    chol_deq, _ = uniform_quantize(state.params.cholesky, uq, CHOL_BITS)
+    chol = chol_deq + jnp.asarray(CHOLESKY_BOUND, jnp.float32) + state.p_cholesky
+    _, _, _, _, nth = project_gaussians_2d(
+        means, chol, cfg.H, cfg.W, cfg.tile_bounds, cfg.block_w, cfg.block_h
+    )
+    num_tiles = cfg.tile_bounds[0] * cfg.tile_bounds[1]
+    mi = (
+        cfg.max_intersects
+        if cfg.max_intersects is not None
+        else default_max_intersects(means.shape[0], num_tiles)
+    )
+    return budget_overflow(nth, mi)
 
 
 def make_train_step_quantize(cfg: FrameConfig):

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from gsvc_tpu.config import FrameConfig
 from gsvc_tpu.core import CHOLESKY_BOUND, SplatParams, init_splats
+from gsvc_tpu.ops.binning import budget_overflow, default_max_intersects
 from gsvc_tpu.ops.projection import project_gaussians_2d
 from gsvc_tpu.ops.rasterize import rasterize_gaussians_sum
 from gsvc_tpu.optim.adan import AdanState, adan_init, adan_reset_moments, adan_step
@@ -65,6 +66,7 @@ class TrainState:
     stop: jax.Array  # [] bool
     loss: jax.Array  # [] f32 last loss
     psnr: jax.Array  # [] f32 last psnr
+    max_overflow: jax.Array  # [] int32 — worst binning budget overflow seen
     key: jax.Array
 
 
@@ -113,6 +115,7 @@ def init_train_state(
         stop=jnp.bool_(False),
         loss=jnp.float32(jnp.inf),
         psnr=jnp.float32(0.0),
+        max_overflow=jnp.int32(0),
         key=k_loop,
     )
 
@@ -379,6 +382,30 @@ def make_train_step(cfg: FrameConfig, lambda_value: float = 0.0):
             lambda: new_opt,
         )
 
+        # Surface binning budget overflow (ADVICE r2): a silent overflow
+        # removes the highest-index splats AND their gradients for the rest
+        # of the run. Checked on control-interval iterations only (a cheap
+        # O(N) cumsum over num_tiles_hit, but it re-runs projection).
+        num_tiles = cfg.tile_bounds[0] * cfg.tile_bounds[1]
+        mi = (
+            cfg.max_intersects
+            if cfg.max_intersects is not None
+            else default_max_intersects(cfg.max_num_points, num_tiles)
+        )
+
+        def check_overflow():
+            _, _, _, _, nth = project_gaussians_2d(
+                params.get_xyz, params.get_cholesky_elements, cfg.H, cfg.W,
+                cfg.tile_bounds, cfg.block_w, cfg.block_h, alive=alive,
+            )
+            return budget_overflow(nth, mi)
+
+        do_check = (it == 1) | (it % cfg.densification_interval == 0)
+        overflow = jax.lax.cond(
+            do_check, check_overflow, lambda: jnp.int32(0)
+        )
+        max_overflow = jnp.maximum(state.max_overflow, overflow)
+
         # device-side early stopping (EarlyStopping, utils.py:188-211)
         improved = state.best_loss - loss > cfg.early_stop_min_delta
         best_loss = jnp.where(improved, loss, state.best_loss)
@@ -393,7 +420,8 @@ def make_train_step(cfg: FrameConfig, lambda_value: float = 0.0):
         return TrainState(
             params=new_params, alive=alive, opt=new_opt, it=it,
             lr_frozen=lr_frozen, best_loss=best_loss, patience=patience,
-            grace=grace, stop=stop, loss=loss, psnr=psnr, key=key,
+            grace=grace, stop=stop, loss=loss, psnr=psnr,
+            max_overflow=max_overflow, key=key,
         )
 
     return step

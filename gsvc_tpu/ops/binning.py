@@ -105,6 +105,19 @@ def bin_gaussians(
     n = xys.shape[0]
     tb_x, tb_y = int(tile_bounds[0]), int(tile_bounds[1])
     num_tiles = tb_x * tb_y
+    # Packing limits: the forward fill packs (gid << 8 | field) with 8-bit
+    # tmin_x/tmin_y/bbox_w fields, and the fast sort key packs tile ids in
+    # 16 bits. Fail loudly instead of silently mis-binning oversized grids
+    # (tb <= 255 covers past-4K video; 8K needs a wider packing).
+    if tb_x > 255 or tb_y > 255:
+        raise ValueError(
+            f"tile grid {tb_x}x{tb_y} exceeds the 8-bit tile-coordinate "
+            "packing (max 255 tiles per axis — up to ~4K video at 16px tiles)"
+        )
+    if n >= (1 << 23):
+        raise ValueError(
+            f"num_points {n} exceeds the 23-bit gaussian-id packing"
+        )
 
     radius_f = radii.astype(xys.dtype)
     tmin_x, tmin_y, tmax_x, tmax_y = _tile_bbox(
@@ -294,6 +307,20 @@ def _sort_by_tile_gauss(
         (tile_id, gauss_id), num_keys=1, is_stable=True
     )
     return stile, sgauss
+
+
+def budget_overflow(num_tiles_hit: jax.Array, max_intersects: int) -> jax.Array:
+    """Intersections `bin_gaussians` would drop for this budget (traced int32).
+
+    Cheap O(N) replica of the whole-gaussian budget drop (bin_gaussians
+    `kept` logic) — lets training loops surface overflow without paying for
+    a second full binning pass. Zero in normal operation.
+    """
+    nth = num_tiles_hit.astype(jnp.int32)
+    cum = jnp.cumsum(nth)
+    total = cum[-1] if nth.shape[0] > 0 else jnp.int32(0)
+    kept = (cum <= max_intersects) & (nth > 0)
+    return total - jnp.sum(jnp.where(kept, nth, 0))
 
 
 def default_max_intersects(num_points: int, num_tiles: int, factor: int = 16) -> int:

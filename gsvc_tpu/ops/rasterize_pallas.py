@@ -492,18 +492,31 @@ def _rasterize_bwd(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(row0.reshape(1), binned.row_lane_start, data, vrows)
 
-    # Reduce per-lane grads to per-splat grads. Sentinel id n (padding,
-    # beyond-cap, budget-dropped AND never-DMA'd tail lanes, whose vdata is
-    # uninitialized) lands in segment n and is sliced off.
-    ids = binned.sorted_gauss_ids
-    seg = jax.ops.segment_sum(vdata.T, ids, num_segments=n + 1)[:n]
-    v_xys = seg[:, 0:2]
-    v_conics = seg[:, 2:5]
-    v_opacity = seg[:, 5:6]
-    v_colors = seg[:, 6:9]
+    v_xys, v_conics, v_colors, v_opacity = _reduce_lane_grads(
+        vdata, binned, n, row0, num_rows
+    )
     zero_binned = jax.tree.map(_zero_cotangent, binned)
     return (zero_binned, v_xys, v_conics, v_colors, v_opacity,
             _zero_cotangent(row0))
+
+
+def _reduce_lane_grads(vdata, binned, n, row0, num_rows):
+    """Per-lane [16, S] grads -> per-splat grads (xys, conics, colors, opac).
+
+    Sentinel id n (padding, beyond-cap, budget-dropped tail lanes) lands in
+    segment n and is sliced off. vdata is an uninitialized HBM output and
+    the kernel only writes lanes of rows [row0, row0 + num_rows), so when
+    this shard renders a partial tile-row span (parallel/sharded.py) the
+    other rows' lanes hold garbage under REAL gaussian ids — redirect every
+    lane outside the shard's span to the sentinel segment before reducing.
+    """
+    ids = binned.sorted_gauss_ids
+    lane = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    lo = binned.row_lane_start[row0]
+    hi = binned.row_lane_start[row0 + num_rows]
+    ids = jnp.where((lane >= lo) & (lane < hi), ids, n)
+    seg = jax.ops.segment_sum(vdata.T, ids, num_segments=n + 1)[:n]
+    return seg[:, 0:2], seg[:, 2:5], seg[:, 6:9], seg[:, 5:6]
 
 
 _rasterize_pallas_vjp.defvjp(_rasterize_fwd, _rasterize_bwd)

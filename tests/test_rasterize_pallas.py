@@ -88,3 +88,39 @@ def test_pallas_tile_cap():
     np.testing.assert_allclose(
         np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=2e-5
     )
+
+
+def test_reduce_lane_grads_masks_out_of_shard_lanes():
+    """ADVICE r2 (high): with tile_rows sharding, lanes outside the shard's
+    row span are never written by the backward kernel (uninitialized HBM)
+    but still carry REAL gaussian ids — the reduction must not fold them
+    into per-splat grads. Poison those lanes and check invariance."""
+    from gsvc_tpu.ops.binning import bin_gaussians, default_max_intersects
+    from gsvc_tpu.ops.rasterize_pallas import _reduce_lane_grads
+
+    H, W = 64, 48
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    means, L, colors, opacity = _scene(60, seed=7)
+    xys, d, radii, conics, nth = project_gaussians_2d(means, L, H, W, tb)
+    n = means.shape[0]
+    mi = default_max_intersects(n, tb[0] * tb[1])
+    binned = bin_gaussians(xys, radii, nth, tb, 16, 16, mi)
+
+    s = binned.sorted_gauss_ids.shape[0]
+    rng = np.random.default_rng(0)
+    vdata = jnp.asarray(rng.normal(size=(16, s)), jnp.float32)
+
+    row0, num_rows = jnp.int32(1), 2  # middle shard of the 4 tile rows
+    lo = int(binned.row_lane_start[1])
+    hi = int(binned.row_lane_start[3])
+    lane = np.arange(s)
+    outside = (lane < lo) | (lane >= hi)
+    poisoned = jnp.where(
+        jnp.asarray(outside)[None, :], jnp.float32(np.nan), vdata
+    )
+
+    clean = _reduce_lane_grads(vdata, binned, n, row0, num_rows)
+    dirty = _reduce_lane_grads(poisoned, binned, n, row0, num_rows)
+    for a, b in zip(clean, dirty):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        assert np.isfinite(np.asarray(b)).all()
