@@ -83,14 +83,36 @@ def main():
     )
     fps = 1.0 / dt
 
-    # full training step (fwd + bwd + Adan), chained naturally via params
+    # full training step (fwd + bwd + Adan), chained naturally via params.
+    # The loss runs in the rasterizer's native tile-row layout with a
+    # pre-tiled target, exactly like the model's L2 train path
+    # (models/represent.py _use_rows_loss) — the target tiling is paid once
+    # per frame, not per iteration.
+    from gsvc_tpu.ops.rasterize import image_to_rows
+
     target = jnp.zeros((H, W, 3), jnp.float32)
+    target_rows = image_to_rows(target, H, W)
+    mask_rows = image_to_rows(jnp.ones_like(target), H, W)
+
+    rows_loss = args.backend == "pallas"
 
     def train_step(carry):
         params, state = carry
 
         def loss_fn(p):
-            return jnp.mean((forward(p["m"], p["l"], p["c"]) - target) ** 2)
+            if not rows_loss:
+                return jnp.mean(
+                    (forward(p["m"], p["l"], p["c"]) - target) ** 2
+                )
+            xys, d, radii, conics, nth = project_gaussians_2d(
+                p["m"], p["l"], H, W, tb
+            )
+            rows = rasterize_gaussians_sum(
+                xys, d, radii, conics, nth, p["c"], opacity, H, W,
+                backend=args.backend, layout="rows",
+            )
+            diff = (jnp.clip(rows, 0.0, 1.0) - target_rows) * mask_rows
+            return jnp.sum(diff * diff) / (H * W * 3)
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         params, state = adan_step(params, g, state, 1e-3)

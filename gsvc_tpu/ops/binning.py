@@ -85,6 +85,24 @@ class BinnedSplats(NamedTuple):
     overflow: jax.Array
 
 
+# Force the Pallas scan kernels in binning on/off; None = auto (TPU, or
+# interpreter mode when fill_pallas.INTERPRET is set by tests).
+PALLAS_FILL = None
+
+
+def _use_pallas_fill() -> bool:
+    if PALLAS_FILL is not None:
+        return bool(PALLAS_FILL)
+    from gsvc_tpu.ops import fill_pallas
+
+    if fill_pallas.INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def static_capacity(max_intersects: int, tile_bounds: Tuple[int, int, int]) -> int:
     """Static lane capacity S of the sorted layout for a given budget."""
     tb_y = int(tile_bounds[1])
@@ -135,17 +153,13 @@ def bin_gaussians(
     kept = (cum <= max_intersects) & (nth > 0)
     total_kept = jnp.sum(jnp.where(kept, nth, 0))
 
-    i = jnp.arange(max_intersects, dtype=jnp.int32)
     # Each kept gaussian owns a unique start slot (empty gaussians share
     # their successor's start and must not scatter). Scatter per-gaussian
     # payloads at the start slots, then forward-fill with a running max:
     # slot i belongs to the last gaussian whose start is <= i. The fill
     # carries the gaussian's start slot AND its tile-decode data (bbox_w,
     # tmin_x, tmin_y, each packed under the gaussian index so the maximum
-    # stays monotone at seed points) in ONE associative_scan over a stacked
-    # [4, I] array — a narrow per-slot gather of the decode data measured
-    # ~1.1 ms on v5e (XLA lowers 1-element gathers at ~7 ns/element); the
-    # scan rows are effectively free.
+    # stays monotone at seed points) in a stacked [4, I] array.
     gid = jnp.arange(n, dtype=jnp.int32)
     scatter_idx = jnp.where(kept, starts_g, max_intersects)  # drop the rest
 
@@ -167,25 +181,36 @@ def bin_gaussians(
             seed_fill((gid << 8) | tmin_y, -1),
         ]
     )
-    filled = jax.lax.associative_scan(jnp.maximum, seeds, axis=1)
-    start_of_g = filled[0]
-    g = filled[1] >> 8
-    valid = (i < total_kept) & (g >= 0)
-    g_safe = jnp.maximum(g, 0)
-    slot = i - start_of_g  # rank of this intersection inside g's bbox
-    bw = jnp.maximum(filled[1] & 0xFF, 1)
-    tx0 = filled[2] & 0xFF
-    ty0 = filled[3] & 0xFF
-    # row-major decode over the bbox, matching forward.cu:118-133. Exact
-    # f32 div: slot < bbox_w*bbox_h <= num_tiles < 2^24, and the +0.5 bias
-    # keeps floor() exact for divisible values.
-    q = jnp.floor(
-        (slot.astype(jnp.float32) + 0.5) / bw.astype(jnp.float32)
-    ).astype(jnp.int32)
-    ty = ty0 + q
-    tx = tx0 + (slot - q * bw)
-    tile_id = jnp.where(valid, ty * tb_x + tx, num_tiles).astype(jnp.int32)
-    gauss_id = jnp.where(valid, g_safe, n).astype(jnp.int32)
+    fast_key_path = n < 0xFFFF and num_tiles < 0x10000 and _use_pallas_fill()
+    if fast_key_path:
+        # Single-pass Pallas fill+decode: XLA's associative_scan makes
+        # log2(I) full HBM passes (+0.83 ms at I=160k on v5e); the
+        # sequential-grid kernel does it in one (ops/fill_pallas.py).
+        from gsvc_tpu.ops.fill_pallas import fill_decode_keys
+
+        keys = fill_decode_keys(seeds, total_kept, tb_x, num_tiles, n)
+        tile_id = gauss_id = None
+    else:
+        i = jnp.arange(max_intersects, dtype=jnp.int32)
+        filled = jax.lax.associative_scan(jnp.maximum, seeds, axis=1)
+        start_of_g = filled[0]
+        g = filled[1] >> 8
+        valid = (i < total_kept) & (g >= 0)
+        g_safe = jnp.maximum(g, 0)
+        slot = i - start_of_g  # rank of this intersection inside g's bbox
+        bw = jnp.maximum(filled[1] & 0xFF, 1)
+        tx0 = filled[2] & 0xFF
+        ty0 = filled[3] & 0xFF
+        # row-major decode over the bbox, matching forward.cu:118-133. Exact
+        # f32 div: slot < bbox_w*bbox_h <= num_tiles < 2^24, and the +0.5
+        # bias keeps floor() exact for divisible values.
+        q = jnp.floor(
+            (slot.astype(jnp.float32) + 0.5) / bw.astype(jnp.float32)
+        ).astype(jnp.int32)
+        ty = ty0 + q
+        tx = tx0 + (slot - q * bw)
+        tile_id = jnp.where(valid, ty * tb_x + tx, num_tiles).astype(jnp.int32)
+        gauss_id = jnp.where(valid, g_safe, n).astype(jnp.int32)
 
     # Per-tile counts WITHOUT a scatter: a gaussian's tile footprint is a
     # separable row x column indicator, so counts[r, c] =
@@ -224,20 +249,35 @@ def bin_gaussians(
     ).reshape(-1)
     pad_gauss = jnp.full(pad_tile.shape, n, jnp.int32)
 
-    sorted_tile_ids, sorted_gauss_ids = _sort_by_tile_gauss(
-        jnp.concatenate([tile_id, pad_tile]),
-        jnp.concatenate([gauss_id, pad_gauss]),
-        n,
-        num_tiles,
-    )
-
     # LANE_ALIGN-aligned static capacity.
     s_cap = static_capacity(max_intersects, tile_bounds)
-    tail = s_cap - sorted_tile_ids.shape[0]
-    sorted_tile_ids = jnp.pad(
-        sorted_tile_ids, (0, tail), constant_values=num_tiles
-    )
-    sorted_gauss_ids = jnp.pad(sorted_gauss_ids, (0, tail), constant_values=n)
+    if fast_key_path:
+        from gsvc_tpu.ops.fill_pallas import rank_cap_decode
+
+        pad_keys = (pad_tile.astype(jnp.uint32) << 16) | jnp.uint32(0xFFFF)
+        skey = jax.lax.sort(
+            jnp.concatenate([keys, pad_keys]), is_stable=False
+        )
+        tail = s_cap - skey.shape[0]
+        skey = jnp.pad(
+            skey, (0, tail), constant_values=(num_tiles << 16) | 0xFFFF
+        )
+        # rank/cap as a single-pass Pallas scan over the sorted keys
+        sorted_tile_ids, sorted_gauss_ids = rank_cap_decode(skey, cap, n)
+    else:
+        sorted_tile_ids, sorted_gauss_ids = _sort_by_tile_gauss(
+            jnp.concatenate([tile_id, pad_tile]),
+            jnp.concatenate([gauss_id, pad_gauss]),
+            n,
+            num_tiles,
+        )
+        tail = s_cap - sorted_tile_ids.shape[0]
+        sorted_tile_ids = jnp.pad(
+            sorted_tile_ids, (0, tail), constant_values=num_tiles
+        )
+        sorted_gauss_ids = jnp.pad(
+            sorted_gauss_ids, (0, tail), constant_values=n
+        )
 
     # Aligned superblock starts and exact per-tile starts.
     row_lanes = row_counts + p_need  # LANE_ALIGN multiples
@@ -249,23 +289,24 @@ def bin_gaussians(
     row_first = cum_t.reshape(tb_y, tb_x)[:, 0]
     tile_bin_start = row_lane_start[row_of_t] + (cum_t - row_first[row_of_t])
 
-    # Per-lane rank within its tile run — run starts forward-filled with an
-    # associative scan (a 178k-element lookup gather measured ~1.2 ms on
-    # v5e; the scan is ~50x cheaper) — used to apply the per-tile cap
-    # exactly like the reference kernel's first-256 batch (forward.cu:613):
-    # beyond-cap lanes become sentinels.
-    lane = jnp.arange(s_cap, dtype=jnp.int32)
-    change = jnp.concatenate(
-        [
-            jnp.ones(1, dtype=bool),
-            sorted_tile_ids[1:] != sorted_tile_ids[:-1],
-        ]
-    )
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(change, lane, 0)
-    )
-    rank = lane - run_start
-    sorted_gauss_ids = jnp.where(rank < cap, sorted_gauss_ids, n)
+    if not fast_key_path:
+        # Per-lane rank within its tile run — run starts forward-filled
+        # with an associative scan — applies the per-tile cap exactly like
+        # the reference kernel's first-256 batch (forward.cu:613):
+        # beyond-cap lanes become sentinels. (The fast path applied the
+        # cap inside rank_cap_decode.)
+        lane = jnp.arange(s_cap, dtype=jnp.int32)
+        change = jnp.concatenate(
+            [
+                jnp.ones(1, dtype=bool),
+                sorted_tile_ids[1:] != sorted_tile_ids[:-1],
+            ]
+        )
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(change, lane, 0)
+        )
+        rank = lane - run_start
+        sorted_gauss_ids = jnp.where(rank < cap, sorted_gauss_ids, n)
 
     overflow = total - total_kept
     return BinnedSplats(

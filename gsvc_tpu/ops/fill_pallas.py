@@ -1,0 +1,220 @@
+"""Pallas TPU kernels for the sequential scans inside tile binning.
+
+Tile binning (ops/binning.py) needs two forward-fill scans over the
+intersection lanes:
+
+1. EXPAND: forward-fill the scattered per-gaussian seeds so every lane
+   learns its owning gaussian + tile-decode data, then decode each lane's
+   (tile, gauss) sort key. XLA's `associative_scan` does log2(I) ~ 17 full
+   passes over HBM (measured +0.83 ms at I=160k on v5e); a TPU grid is
+   sequential, so ONE Pallas pass with a carried running max does the same
+   in ~2 passes of traffic.
+
+2. RANK: after the (tile, gauss) sort, each lane's rank inside its tile run
+   applies the per-tile cap (reference forward.cu:613 semantics). Same
+   sequential-scan structure over the sorted keys.
+
+Both kernels use the same in-block scan: a log-shift running max along
+lanes (pltpu.roll + iota mask), with the cross-block carry in a VMEM
+scratch row — the classic single-pass Blelloch replacement for a
+hardware-sequential grid.
+
+The kernels are shape-generic over the lane count (padded to BLK) and run
+in interpreter mode for CPU tests (ops/rasterize_pallas.py INTERPRET flag
+convention).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Lanes per grid step. 4096 int32 lanes x 4 payload rows = 64 KiB VMEM
+# per buffered block — small enough to double-buffer, big enough that the
+# ~20 shift steps amortize.
+BLK = 4096
+
+# Run in the Pallas interpreter (CPU tests). Toggled by tests.
+INTERPRET = False
+
+
+def _lane_scan_max(x, blk):
+    """Inclusive running max along the lane axis of [rows, blk]."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    s = 1
+    while s < blk:
+        shifted = pltpu.roll(x, shift=s, axis=1)
+        x = jnp.maximum(x, jnp.where(lanes < s, jnp.int32(-1), shifted))
+        s *= 2
+    return x
+
+
+def _fill_kernel(
+    total_ref,  # [1] SMEM scalar prefetch: total kept intersections
+    seeds_ref,  # [1, 4, BLK] VMEM block of scattered seeds (-1 = empty)
+    keys_ref,  # [1, 1, BLK] uint32 output: (tile << 16 | gauss) sort keys
+    carry,  # [8, 128] VMEM scratch: running max per payload row (col 0)
+    *,
+    blk: int,
+    tb_x: int,
+    num_tiles: int,
+    n: int,
+):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        carry[...] = jnp.full_like(carry, -1)
+
+    x = seeds_ref[0]  # [4, blk]
+    x = _lane_scan_max(x, blk)
+    x = jnp.maximum(x, carry[0:4, 0:1])
+    carry[0:4, 0:1] = x[:, blk - 1 : blk]
+
+    # decode (mirrors ops/binning.py): lane's rank inside its gaussian's
+    # tile bbox -> row-major tile id; invalid lanes get sentinel ids.
+    i = b * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    start_of_g = x[0:1, :]
+    g = x[1:2, :] >> 8
+    valid = (i < total_ref[0]) & (g >= 0)
+    g_safe = jnp.maximum(g, 0)
+    slot = i - start_of_g
+    bw = jnp.maximum(x[1:2, :] & 0xFF, 1)
+    tx0 = x[2:3, :] & 0xFF
+    ty0 = x[3:4, :] & 0xFF
+    q = jnp.floor(
+        (slot.astype(jnp.float32) + 0.5) / bw.astype(jnp.float32)
+    ).astype(jnp.int32)
+    ty = ty0 + q
+    tx = tx0 + (slot - q * bw)
+    tile = jnp.where(valid, ty * tb_x + tx, num_tiles)
+    gauss = jnp.where(valid, g_safe, 0xFFFF)
+    keys_ref[0] = (
+        tile.astype(jnp.uint32) << 16
+    ) | gauss.astype(jnp.uint32)
+
+
+def fill_decode_keys(
+    seeds: jax.Array,
+    total_kept: jax.Array,
+    tb_x: int,
+    num_tiles: int,
+    n: int,
+) -> jax.Array:
+    """[4, I] scattered seeds -> [I] uint32 (tile << 16 | gauss) sort keys.
+
+    seeds rows: [start_of_g, g<<8|bbox_w, g<<8|tmin_x, g<<8|tmin_y] scattered
+    at each kept gaussian's exclusive start slot, -1 elsewhere (the
+    bin_gaussians seed layout). Sentinel lanes (beyond total_kept or before
+    the first seed) key as (num_tiles << 16 | 0xFFFF).
+    """
+    i_total = seeds.shape[1]
+    pad = (-i_total) % BLK
+    if pad:
+        seeds = jnp.pad(seeds, ((0, 0), (0, pad)), constant_values=-1)
+    nb = seeds.shape[1] // BLK
+    # [nb, 4, BLK] so the block's trailing dims (4, BLK) match the array
+    # (Mosaic block-shape rule); the transpose is a cheap minor-dim-
+    # preserving copy.
+    seeds3 = seeds.reshape(4, nb, BLK).transpose(1, 0, 2)
+
+    kernel = functools.partial(
+        _fill_kernel, blk=BLK, tb_x=tb_x, num_tiles=num_tiles, n=n
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 4, BLK), lambda b, t: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, BLK), lambda b, t: (b, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+    )
+    keys = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 1, BLK), jnp.uint32),
+        interpret=INTERPRET,
+    )(total_kept.reshape(1), seeds3)
+    return keys.reshape(nb * BLK)[:i_total]
+
+
+def _rank_kernel(
+    keys_ref,  # [1, 1, BLK] sorted uint32 keys
+    tile_ref,  # [1, 1, BLK] int32 tile ids out
+    gauss_ref,  # [1, 1, BLK] int32 gauss ids out (cap applied)
+    carry,  # [8, 128] VMEM scratch: [prev last tile, prev run start]
+    *,
+    blk: int,
+    cap: int,
+    n: int,
+):
+    b = pl.program_id(0)
+    keys = keys_ref[0]  # [1, blk]
+    tile = (keys >> 16).astype(jnp.int32)
+    gauss = (keys & 0xFFFF).astype(jnp.int32)
+
+    @pl.when(b == 0)
+    def _init():
+        carry[0:1, 0:1] = jnp.full((1, 1), -1, jnp.int32)  # prev tile
+        carry[1:2, 0:1] = jnp.zeros((1, 1), jnp.int32)  # prev run start
+
+    lane = b * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    prev_tile = jnp.concatenate(
+        [carry[0:1, 0:1], tile[:, : blk - 1]], axis=1
+    )
+    change = tile != prev_tile
+    # run start = last lane where the tile changed (carried across blocks)
+    seed = jnp.where(change, lane, -1)
+    run_start = _lane_scan_max(seed, blk)
+    run_start = jnp.maximum(run_start, carry[1:2, 0:1])
+    rank = lane - run_start
+    tile_ref[0] = tile
+    gauss_ref[0] = jnp.where((rank < cap) & (gauss != 0xFFFF), gauss, n)
+    carry[0:1, 0:1] = tile[:, blk - 1 : blk]
+    carry[1:2, 0:1] = run_start[:, blk - 1 : blk]
+
+
+def rank_cap_decode(
+    sorted_keys: jax.Array, cap: int, n: int
+) -> tuple[jax.Array, jax.Array]:
+    """Sorted uint32 keys -> (tile_ids [S], gauss_ids [S]) with the per-tile
+    cap applied (lanes ranked >= cap within their tile run get sentinel n,
+    like the reference's first-256-batch early exit, forward.cu:613)."""
+    s_total = sorted_keys.shape[0]
+    pad = (-s_total) % BLK
+    if pad:
+        sorted_keys = jnp.pad(
+            sorted_keys, (0, pad), constant_values=jnp.uint32(0xFFFFFFFF)
+        )
+    nb = sorted_keys.shape[0] // BLK
+    keys2 = sorted_keys.reshape(nb, 1, BLK)
+
+    kernel = functools.partial(_rank_kernel, blk=BLK, cap=cap, n=n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+    )
+    tile, gauss = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1, BLK), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, BLK), jnp.int32),
+        ],
+        interpret=INTERPRET,
+    )(keys2)
+    return (
+        tile.reshape(nb * BLK)[:s_total],
+        gauss.reshape(nb * BLK)[:s_total],
+    )

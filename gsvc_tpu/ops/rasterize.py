@@ -28,6 +28,35 @@ from gsvc_tpu.ops.binning import bin_gaussians, default_max_intersects
 TILE_CAP = 256
 
 
+def image_to_rows(
+    img: jax.Array, img_height: int, img_width: int,
+    BLOCK_H: int = 16, BLOCK_W: int = 16,
+) -> jax.Array:
+    """Tile a [H, W, 3] image into the layout='rows' block layout (for
+    targets/masks of tile-space training losses)."""
+    from gsvc_tpu.ops.rasterize_pallas import _image_to_vrows, _round8
+
+    tb_x = (img_width + BLOCK_W - 1) // BLOCK_W
+    tb_y = (img_height + BLOCK_H - 1) // BLOCK_H
+    return _image_to_vrows(
+        img, tb_y, _round8(3 * tb_x), tb_x, BLOCK_W, BLOCK_H
+    )
+
+
+def rows_to_image(
+    rows: jax.Array, img_height: int, img_width: int,
+    BLOCK_H: int = 16, BLOCK_W: int = 16,
+) -> jax.Array:
+    """Inverse of the layout='rows' output: blocks -> [H, W, 3] image."""
+    from gsvc_tpu.ops.rasterize_pallas import _rows_to_image
+
+    tb_x = (img_width + BLOCK_W - 1) // BLOCK_W
+    tb_y = (img_height + BLOCK_H - 1) // BLOCK_H
+    return _rows_to_image(
+        rows, tb_y, tb_x, BLOCK_W, BLOCK_H, img_height, img_width
+    )
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -52,11 +81,18 @@ def rasterize_gaussians_sum(
     backend: str = "auto",
     max_intersects: Optional[int] = None,
     tile_rows=None,
+    layout: str = "image",
 ):
     """Differentiable accumulation rasterizer. Returns [H, W, C] (+alpha).
 
     `depths` is accepted for API parity and ignored — the sum render is
     order-independent (reference depths are constant 0, foward2d.cu:67).
+
+    layout="rows" (pallas backend only) returns the kernel's native
+    [tb_y * round8(3*tb_x), BLOCK_H*BLOCK_W] tile-row blocks instead of an
+    image — pointwise training losses consume it directly and skip the
+    untile transpose in both passes (see ops/rasterize_pallas.py). Tile a
+    [H, W, 3] target into the same layout with `image_to_rows`.
 
     Quirks kept for parity:
     - when there are zero intersections, the image is `background` everywhere
@@ -86,6 +122,8 @@ def rasterize_gaussians_sum(
     # routing C != 3 to nd_rasterize_forward_sum (rasterize_sum.py:147-150).
     if backend == "pallas" and colors.shape[-1] != 3:
         backend = "binned"
+    if layout != "image" and backend != "pallas":
+        raise ValueError("layout='rows' requires the pallas backend")
 
     if backend == "dense":
         if tile_rows is not None:
@@ -109,7 +147,7 @@ def rasterize_gaussians_sum(
             img = rasterize_pallas(
                 binned, xys, conics, colors, opacity,
                 img_height, img_width, tile_bounds, BLOCK_W, BLOCK_H, TILE_CAP,
-                tile_rows,
+                tile_rows, layout=layout,
             )
         elif backend == "binned":
             from gsvc_tpu.ops.rasterize_binned import rasterize_binned
@@ -121,6 +159,27 @@ def rasterize_gaussians_sum(
             )
         else:
             raise ValueError(f"unknown backend {backend!r}")
+
+    if layout == "rows":
+        # background per tile-row block row (t, c) is background[c]
+        rowc = jnp.arange(img.shape[0], dtype=jnp.int32) % 3
+        bg_rows = background[rowc][:, None].astype(img.dtype)
+        img = jax.lax.cond(
+            total < 1,
+            lambda im: jnp.broadcast_to(bg_rows, im.shape),
+            lambda im: im,
+            img,
+        )
+        if return_alpha:
+            raise ValueError("return_alpha unsupported for layout='rows'")
+        return img
+
+    # Fusion firewall: without it XLA fuses the caller's elementwise ops
+    # (the model's clip, the loss) INTO the untile transpose, turning a
+    # fast copy kernel into a strided loop fusion — measured +5.5 ms at
+    # 1080p on v5e (scripts/profile_bwd_chain.py probe). The barrier also
+    # shields the transpose's backward the same way.
+    img = jax.lax.optimization_barrier(img)
 
     # zero-intersect fast path (rasterize_sum.py:121-129): a lax.cond so the
     # common case pays a branch, not a whole-image select pass

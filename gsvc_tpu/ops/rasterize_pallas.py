@@ -372,12 +372,20 @@ def rasterize_pallas(
     block_h: int = 16,
     cap: int = 256,
     tile_rows=None,
+    layout: str = "image",
 ) -> jax.Array:
-    """Render [H, W, 3] with the Pallas TPU kernel. Differentiable w.r.t.
-    xys, conics, colors, opacity (reference backward semantics).
+    """Render with the Pallas TPU kernel. Differentiable w.r.t. xys,
+    conics, colors, opacity (reference backward semantics).
 
     tile_rows: optional (row_offset (traced ok), num_rows (static)) — render
-    only that tile-row span in global coordinates (image sharding)."""
+    only that tile-row span in global coordinates (image sharding).
+
+    layout: "image" -> [H, W, 3]; "rows" -> the kernel's native
+    [num_rows * round8(3*tb_x), block_h*block_w] tile-row blocks (row
+    (t, c) of a block holds channel c of tile t; see _rows_to_image).
+    Training losses that reduce pointwise (L1/L2) can consume "rows"
+    directly and skip the untile transpose forward AND backward
+    (~1.4 ms/step at 1080p on v5e)."""
     tb_y = int(tile_bounds[1])
     if tile_rows is None:
         row0, num_rows = jnp.int32(0), tb_y
@@ -386,17 +394,22 @@ def rasterize_pallas(
     return _rasterize_pallas_vjp(
         binned, xys, conics, colors, opacity, row0,
         img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
+        layout,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13)
+)
 def _rasterize_pallas_vjp(
     binned, xys, conics, colors, opacity, row0,
     img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
+    layout,
 ):
     out, _ = _forward_impl(
         binned, xys, conics, colors, opacity, row0,
         img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
+        layout,
     )
     return out
 
@@ -404,6 +417,7 @@ def _rasterize_pallas_vjp(
 def _forward_impl(
     binned, xys, conics, colors, opacity, row0,
     img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
+    layout,
 ):
     tb_x = int(tile_bounds[0])
     pix = block_w * block_h
@@ -434,6 +448,8 @@ def _forward_impl(
         interpret=INTERPRET,
     )(row0.reshape(1), binned.row_lane_start, data)
 
+    if layout == "rows":
+        return out, data
     partial_shard = num_rows != int(tile_bounds[1])
     out_h = num_rows * block_h if partial_shard else img_height
     img = _rows_to_image(
@@ -445,23 +461,28 @@ def _forward_impl(
 def _rasterize_fwd(
     binned, xys, conics, colors, opacity, row0,
     img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
+    layout,
 ):
     img, data = _forward_impl(
         binned, xys, conics, colors, opacity, row0,
         img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
+        layout,
     )
     return img, (binned, data, xys.shape[0], row0)
 
 
 def _rasterize_bwd(
     img_height, img_width, tile_bounds, block_w, block_h, cap, num_rows,
-    residuals, g,
+    layout, residuals, g,
 ):
     binned, data, n, row0 = residuals
     tb_x = int(tile_bounds[0])
     pix = block_w * block_h
     r_out = _round8(3 * tb_x)
-    vrows = _image_to_vrows(g, num_rows, r_out, tb_x, block_w, block_h)
+    if layout == "rows":
+        vrows = g  # already in the kernel's native tile-row block layout
+    else:
+        vrows = _image_to_vrows(g, num_rows, r_out, tb_x, block_w, block_h)
 
     kernel = functools.partial(
         _backward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h

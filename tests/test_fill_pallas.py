@@ -1,0 +1,83 @@
+"""Pallas binning-scan kernels vs the XLA associative-scan path.
+
+The sequential fill/rank kernels (ops/fill_pallas.py) must produce exactly
+the same BinnedSplats as the plain-XLA path, for random scenes including
+budget overflow and per-tile cap saturation. Runs in interpreter mode on
+CPU (SURVEY.md §4 oracle-comparison strategy).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gsvc_tpu.ops.binning as binning
+import gsvc_tpu.ops.fill_pallas as fp
+from gsvc_tpu.ops.binning import bin_gaussians, default_max_intersects
+from gsvc_tpu.ops.projection import project_gaussians_2d
+
+
+@pytest.fixture
+def _pallas_interpret():
+    fp.INTERPRET = True
+    yield
+    fp.INTERPRET = False
+
+
+def _bin_both(n, H, W, seed, max_intersects=None, cap=256):
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    rng = np.random.default_rng(seed)
+    means = jnp.asarray(rng.uniform(-1.1, 1.1, (n, 2)), jnp.float32)
+    L = jnp.asarray(
+        rng.uniform(0, 2, (n, 3)) + np.array([0.5, 0.0, 0.5]), jnp.float32
+    )
+    xys, d, radii, conics, nth = project_gaussians_2d(means, L, H, W, tb)
+    if max_intersects is None:
+        max_intersects = default_max_intersects(n, tb[0] * tb[1])
+    out = {}
+    for use_pallas in (False, True):
+        binning.PALLAS_FILL = use_pallas
+        try:
+            out[use_pallas] = bin_gaussians(
+                xys, radii, nth, tb, 16, 16, max_intersects, cap=cap
+            )
+        finally:
+            binning.PALLAS_FILL = None
+    return out[False], out[True]
+
+
+@pytest.mark.parametrize(
+    "n,hw,seed", [(50, (48, 64), 0), (200, (64, 96), 1), (500, (32, 128), 2)]
+)
+def test_pallas_fill_matches_xla(_pallas_interpret, n, hw, seed):
+    ref, pal = _bin_both(n, hw[0], hw[1], seed)
+    for name in ref._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(pal, name)),
+            err_msg=name,
+        )
+
+
+def test_pallas_fill_budget_overflow(_pallas_interpret):
+    # tiny budget forces the whole-gaussian drop path
+    ref, pal = _bin_both(100, 48, 64, seed=3, max_intersects=64)
+    assert int(ref.overflow) > 0
+    for name in ref._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(pal, name)),
+            err_msg=name,
+        )
+
+
+def test_pallas_fill_tile_cap(_pallas_interpret):
+    # tiny cap saturates tile runs -> beyond-cap sentinels must match
+    ref, pal = _bin_both(120, 32, 32, seed=4, cap=4)
+    n = 120
+    assert (np.asarray(ref.sorted_gauss_ids) == n).any()
+    for name in ref._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)),
+            np.asarray(getattr(pal, name)),
+            err_msg=name,
+        )

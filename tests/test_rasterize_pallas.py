@@ -124,3 +124,61 @@ def test_reduce_lane_grads_masks_out_of_shard_lanes():
     for a, b in zip(clean, dirty):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         assert np.isfinite(np.asarray(b)).all()
+
+
+def test_rows_layout_matches_image_loss():
+    """layout='rows' + masked tile-space L2 must equal image-space L2
+    (the tiling is a permutation; padding is masked)."""
+    from gsvc_tpu.ops.rasterize import image_to_rows, rows_to_image
+
+    H, W = 37, 51  # non-multiple of 16 -> real padding
+    means, L, colors, opacity = _scene(120, seed=11)
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+
+    def fwd(layout):
+        xys, d, radii, conics, nth = project_gaussians_2d(
+            means, L, H, W, tb
+        )
+        return rasterize_gaussians_sum(
+            xys, d, radii, conics, nth, colors, opacity, H, W,
+            backend="pallas", layout=layout,
+        )
+
+    img = jnp.clip(fwd("image"), 0, 1)
+    rows = jnp.clip(fwd("rows"), 0, 1)
+    # rows -> image roundtrip
+    np.testing.assert_allclose(
+        np.asarray(rows_to_image(rows, H, W)), np.asarray(img), atol=1e-6
+    )
+    # masked tile-space L2 == image-space L2
+    gt_rows = image_to_rows(gt, H, W)
+    mask = image_to_rows(jnp.ones_like(gt), H, W)
+    diff = (rows - gt_rows) * mask
+    mse_rows = float(jnp.sum(diff * diff) / (H * W * 3))
+    mse_img = float(jnp.mean((img - gt) ** 2))
+    np.testing.assert_allclose(mse_rows, mse_img, rtol=1e-6)
+
+    # gradients through the rows layout match image-space gradients
+    def loss_rows(c):
+        xys, d, radii, conics, nth = project_gaussians_2d(means, L, H, W, tb)
+        r = rasterize_gaussians_sum(
+            xys, d, radii, conics, nth, c, opacity, H, W,
+            backend="pallas", layout="rows",
+        )
+        dd = (jnp.clip(r, 0, 1) - gt_rows) * mask
+        return jnp.sum(dd * dd) / (H * W * 3)
+
+    def loss_img(c):
+        xys, d, radii, conics, nth = project_gaussians_2d(means, L, H, W, tb)
+        im = rasterize_gaussians_sum(
+            xys, d, radii, conics, nth, c, opacity, H, W, backend="pallas"
+        )
+        return jnp.mean((jnp.clip(im, 0, 1) - gt) ** 2)
+
+    g_rows = jax.grad(loss_rows)(colors)
+    g_img = jax.grad(loss_img)(colors)
+    np.testing.assert_allclose(
+        np.asarray(g_rows), np.asarray(g_img), rtol=1e-5, atol=1e-7
+    )
