@@ -142,11 +142,13 @@ def forward_quantize(
     key: jax.Array,
     cfg: FrameConfig,
     training: bool,
+    layout: str = "image",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, VQState]:
     """Quantize-aware render. Returns (img, vq_loss, chol_codes, new_vq).
 
     Frame mode (p_* all zeros) mirrors GaussianSplats_Compress.py:71-84;
-    delta mode mirrors :165-179.
+    delta mode mirrors :165-179. layout='rows' renders in the kernel's
+    native tile-row layout (see models/represent._use_rows_loss).
     """
     means = jnp.tanh(fake_quantize_half(params.xyz) + p_xyz)
     uq = UniformQuantParams(scale=params.q_scale, beta=params.q_beta)
@@ -168,6 +170,7 @@ def forward_quantize(
         xys, depths, radii, conics, nth, colors, opacity,
         cfg.H, cfg.W, cfg.block_h, cfg.block_w,
         backend=cfg.backend, max_intersects=cfg.max_intersects,
+        layout=layout,
     )
     img = jnp.clip(img, 0.0, 1.0)
     return img, l_vqc, chol_codes, new_vq
@@ -199,19 +202,30 @@ def compress_overflow(state: CompressState, cfg: FrameConfig) -> jax.Array:
 
 def make_train_step_quantize(cfg: FrameConfig):
     """train_iter_quantize (GaussianSplats_Compress.py:86-98):
-    loss = L2(recon) + vq_loss; Adan step; StepLR."""
+    loss = L2(recon) + vq_loss; Adan step; StepLR.
 
-    def step(state: CompressState, gt: jax.Array) -> CompressState:
+    step() takes an optional pre-tiled rows_target to run the L2 recon in
+    the rasterizer's native tile-row layout (models/represent rows-loss)."""
+
+    def step(
+        state: CompressState, gt: jax.Array, rows_target=None
+    ) -> CompressState:
         it = state.it + 1
         key, sub = jax.random.split(state.key)
 
         def loss_fn(p: dict):
             params = CompressParams(**p)
+            layout = "image" if rows_target is None else "rows"
             img, vq_loss, _codes, new_vq = forward_quantize(
                 params, state.vq, state.p_xyz, state.p_cholesky,
-                state.p_features_dc, sub, cfg, training=True,
+                state.p_features_dc, sub, cfg, training=True, layout=layout,
             )
-            recon = jnp.mean((img - gt) ** 2)
+            if rows_target is None:
+                recon = jnp.mean((img - gt) ** 2)
+            else:
+                gt_rows, mask = rows_target
+                diff = (img - gt_rows) * mask
+                recon = jnp.sum(diff * diff) / (cfg.H * cfg.W * 3)
             psnr = 10.0 * jnp.log10(1.0 / recon)
             return recon + vq_loss, (psnr, new_vq)
 
@@ -250,10 +264,13 @@ def fit_compress(
 ) -> CompressState:
     """Full QAT fit on device; keeps the best-PSNR snapshot
     (train_video_Compress.py:89-102)."""
+    from gsvc_tpu.models.represent import _use_rows_loss, make_rows_target
+
     step = make_train_step_quantize(cfg)
+    rows_target = make_rows_target(gt, cfg) if _use_rows_loss(cfg) else None
 
     def body(s, _):
-        return step(s, gt), None
+        return step(s, gt, rows_target), None
 
     final, _ = jax.lax.scan(body, state, None, length=cfg.iterations)
     # load best (train_video_Compress.py:102)

@@ -64,6 +64,15 @@ from gsvc_tpu.ops.rasterize_dense import ALPHA_CUTOFF
 CHUNK = LANE_ALIGN  # lanes per in-kernel DMA chunk
 DATA_ROWS = 16  # packed rows: x y c1 c2 c3 opac r g b ox oy tile (4 pad)
 
+# Dynamic tile window: chunk lanes are tile-sorted, so one chunk usually
+# spans far fewer tiles than the whole row (~20 at converged densities).
+# Each chunk anchors a WINDOW_TILES-wide window at its first lane's tile
+# and runs the color/grad matmuls at 3*WINDOW_TILES rows instead of
+# 3*tb_x (360 at 1080p), falling back to the full-width path for the rare
+# sparse chunk that spans more. 3*WINDOW_TILES must be a multiple of 8
+# (sublane-aligned dynamic output slices).
+WINDOW_TILES = 40
+
 # Run kernels in the Pallas interpreter (for CPU tests). Toggled by tests.
 INTERPRET = False
 
@@ -173,6 +182,21 @@ def _row_selectors(r_out: int):
     return row_t, s0, s1, s2
 
 
+def _window_anchor(d, tile0, tb_x: int):
+    """(anchor, span_ok) for the chunk's dynamic tile window.
+
+    Lanes are tile-sorted, so the chunk's tiles lie in [first, last]. The
+    window anchors at the first lane's tile rounded down to a multiple of
+    8 (sublane-aligned output rows) and clamped to keep WINDOW_TILES
+    columns inside the row; span_ok says every lane fits the window.
+    Tile ids are exact in f32 (< 2^16)."""
+    t_first = d[11, 0].astype(jnp.int32) - tile0
+    t_last = d[11, CHUNK - 1].astype(jnp.int32) - tile0
+    anchor = jnp.clip(t_first & ~7, 0, tb_x - WINDOW_TILES)
+    span_ok = t_last - anchor < WINDOW_TILES
+    return anchor, span_ok
+
+
 def _chunk_eval(d, A, block_w: int, block_h: int):
     """Shared forward math on one [16, CHUNK] data block."""
     gx, gy, c1, c2, c3, B = _splat_features(d)
@@ -206,6 +230,10 @@ def _forward_kernel(
     tile0 = r * tb_x
     A = _pixel_features(block_w, block_h)
     row_t, s0, s1, s2 = _row_selectors(out_ref.shape[0])
+    windowed = tb_x > WINDOW_TILES
+    if windowed:
+        r_win = 3 * WINDOW_TILES
+        row_tw, w0, w1, w2 = _row_selectors(r_win)
 
     def in_dma(slot, c):
         return pltpu.make_async_copy(
@@ -233,9 +261,30 @@ def _forward_kernel(
             d, A, block_w, block_h
         )
         w = jnp.where(valid, alpha, 0.0)  # [pix, C]
-        _mask, rexp = _tile_mask_and_rgb(d, row_t, s0, s1, s2, tile0)
-        # acc[(t, ch), p] += sum_k rexp[(t,ch), k] * w[p, k]  (MXU)
-        out_ref[...] += _dot(rexp, w, ((1,), (1,)))
+
+        def full_acc():
+            _mask, rexp = _tile_mask_and_rgb(d, row_t, s0, s1, s2, tile0)
+            # acc[(t, ch), p] += sum_k rexp[(t,ch), k] * w[p, k]  (MXU)
+            out_ref[...] += _dot(rexp, w, ((1,), (1,)))
+
+        if not windowed:
+            full_acc()
+            return carry
+
+        anchor, span_ok = _window_anchor(d, tile0, tb_x)
+
+        @pl.when(span_ok)
+        def _windowed():
+            _m, rexp = _tile_mask_and_rgb(
+                d, row_tw, w0, w1, w2, tile0 + anchor
+            )
+            roff = pl.multiple_of(3 * anchor, 8)
+            out_ref[pl.ds(roff, r_win), :] += _dot(rexp, w, ((1,), (1,)))
+
+        @pl.when(jnp.logical_not(span_ok))
+        def _full():
+            full_acc()
+
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -257,6 +306,10 @@ def _backward_kernel(
     A = _pixel_features(block_w, block_h)
     row_t, s0, s1, s2 = _row_selectors(vout_ref.shape[0])
     vout = vout_ref[...]
+    windowed = tb_x > WINDOW_TILES
+    if windowed:
+        r_win = 3 * WINDOW_TILES
+        row_tw, w0_, w1_, w2_ = _row_selectors(r_win)
 
     def in_dma(slot, c):
         return pltpu.make_async_copy(
@@ -294,32 +347,53 @@ def _backward_kernel(
         gx, gy, c1, c2, c3, sigma, vis, alpha_u, alpha, valid = _chunk_eval(
             d, A, block_w, block_h
         )
-        mask, rexp = _tile_mask_and_rgb(d, row_t, s0, s1, s2, tile0)
-        # v_alpha[p, k] = sum_ch rgb[ch, k] * v_out_{tile(k)}[ch, p]
-        # (backward.cu:826-829), via the tile-blocked matmul.
-        v_alpha = jnp.where(
-            valid, _dot(vout, rexp, ((0,), (0,))), 0.0
-        )  # [pix, C]
-        v_sigma = -alpha_u * v_alpha  # min(1,.) clamp is forward-only
-        vB = _dot(A, v_sigma, ((0,), (0,)))  # [6, C] MXU
-        vB3, vB4, vB5 = vB[3:4, :], vB[4:5, :], vB[5:6, :]
-        v_c1 = 0.5 * (vB[0:1, :] + gx * (gx * vB5 - 2.0 * vB3))
-        v_c3 = 0.5 * (vB[1:2, :] + gy * (gy * vB5 - 2.0 * vB4))
-        v_c2 = vB[2:3, :] - gy * vB3 - gx * vB4 + gx * gy * vB5
-        v_x = -c1 * vB3 - c2 * vB4 + (c1 * gx + c2 * gy) * vB5
-        v_y = -c2 * vB3 - c3 * vB4 + (c3 * gy + c2 * gx) * vB5
-        v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)  # [1, C]
         w = jnp.where(valid, alpha, 0.0)
-        # M[(t, ch), k] = sum_p vout[(t,ch), p] * w[p, k]; lane k keeps only
-        # its own tile's rows -> mask, fold rows by channel one-hots.
-        M = jnp.where(mask, _dot(vout, w, ((1,), (0,))), 0.0)  # [R_OUT, C]
-        v_r = jnp.sum(M * s0, axis=0, keepdims=True)
-        v_g = jnp.sum(M * s1, axis=0, keepdims=True)
-        v_b = jnp.sum(M * s2, axis=0, keepdims=True)
-        pad = jnp.zeros((DATA_ROWS - 9, CHUNK), jnp.float32)
-        vbuf[slot] = jnp.concatenate(
-            [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_r, v_g, v_b, pad], axis=0
-        )
+
+        def grad_math(vout_x, row_tx, sx0, sx1, sx2, t0):
+            mask, rexp = _tile_mask_and_rgb(d, row_tx, sx0, sx1, sx2, t0)
+            # v_alpha[p, k] = sum_ch rgb[ch, k] * v_out_{tile(k)}[ch, p]
+            # (backward.cu:826-829), via the tile-blocked matmul.
+            v_alpha = jnp.where(
+                valid, _dot(vout_x, rexp, ((0,), (0,))), 0.0
+            )  # [pix, C]
+            v_sigma = -alpha_u * v_alpha  # min(1,.) clamp is forward-only
+            vB = _dot(A, v_sigma, ((0,), (0,)))  # [6, C] MXU
+            vB3, vB4, vB5 = vB[3:4, :], vB[4:5, :], vB[5:6, :]
+            v_c1 = 0.5 * (vB[0:1, :] + gx * (gx * vB5 - 2.0 * vB3))
+            v_c3 = 0.5 * (vB[1:2, :] + gy * (gy * vB5 - 2.0 * vB4))
+            v_c2 = vB[2:3, :] - gy * vB3 - gx * vB4 + gx * gy * vB5
+            v_x = -c1 * vB3 - c2 * vB4 + (c1 * gx + c2 * gy) * vB5
+            v_y = -c2 * vB3 - c3 * vB4 + (c3 * gy + c2 * gx) * vB5
+            v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)  # [1, C]
+            # M[(t, ch), k] = sum_p vout[(t,ch), p] * w[p, k]; lane k keeps
+            # only its own tile's rows -> mask, fold rows by one-hots.
+            M = jnp.where(mask, _dot(vout_x, w, ((1,), (0,))), 0.0)
+            v_r = jnp.sum(M * sx0, axis=0, keepdims=True)
+            v_g = jnp.sum(M * sx1, axis=0, keepdims=True)
+            v_b = jnp.sum(M * sx2, axis=0, keepdims=True)
+            pad = jnp.zeros((DATA_ROWS - 9, CHUNK), jnp.float32)
+            vbuf[slot] = jnp.concatenate(
+                [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_r, v_g, v_b, pad],
+                axis=0,
+            )
+
+        if not windowed:
+            grad_math(vout, row_t, s0, s1, s2, tile0)
+        else:
+            anchor, span_ok = _window_anchor(d, tile0, tb_x)
+
+            @pl.when(span_ok)
+            def _windowed():
+                roff = pl.multiple_of(3 * anchor, 8)
+                grad_math(
+                    vout_ref[pl.ds(roff, r_win), :],
+                    row_tw, w0_, w1_, w2_, tile0 + anchor,
+                )
+
+            @pl.when(jnp.logical_not(span_ok))
+            def _full():
+                grad_math(vout, row_t, s0, s1, s2, tile0)
+
         out_dma(slot, c).start()
         return carry
 

@@ -182,3 +182,50 @@ def test_rows_layout_matches_image_loss():
     np.testing.assert_allclose(
         np.asarray(g_rows), np.asarray(g_img), rtol=1e-5, atol=1e-7
     )
+
+
+def test_windowed_kernel_matches_binned():
+    """Wide image (tb_x > WINDOW_TILES) exercises the dynamic-window fast
+    path AND the sparse full-width fallback in the same scene: a dense
+    cluster (narrow chunk spans) plus isolated far-apart splats (a chunk
+    spanning more than WINDOW_TILES tiles)."""
+    H, W = 32, 704  # tb_x = 44 > 40
+    rng = np.random.default_rng(5)
+    n = 60
+    means = np.zeros((n, 2), np.float32)
+    means[:40, 0] = rng.uniform(-0.1, 0.1, 40)   # dense cluster mid-row
+    means[:40, 1] = rng.uniform(-0.9, 0.9, 40)
+    means[40:, 0] = np.linspace(-0.98, 0.98, 20)  # sparse spread
+    means[40:, 1] = rng.uniform(-0.9, 0.9, 20)
+    L = (rng.uniform(0.5, 2, (n, 3)) + np.array([0.5, 0.0, 0.5])).astype(
+        np.float32
+    )
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacity = rng.uniform(0.2, 1.0, (n, 1)).astype(np.float32)
+    m, l, c, o = map(jnp.asarray, (means, L, colors, opacity))
+
+    img_p = _render("pallas", H, W, m, l, c, o)
+    img_b = _render("binned", H, W, m, l, c, o)
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=2e-5
+    )
+
+    # gradients through both branches
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+
+    def loss(be):
+        def f(m, l, c, o):
+            xys, d, radii, conics, nth = project_gaussians_2d(m, l, H, W, tb)
+            img = rasterize_gaussians_sum(
+                xys, d, radii, conics, nth, c, o, H, W, backend=be
+            )
+            return jnp.mean((img - gt) ** 2)
+        return f
+
+    gp = jax.grad(loss("pallas"), argnums=(0, 1, 2, 3))(m, l, c, o)
+    gb = jax.grad(loss("binned"), argnums=(0, 1, 2, 3))(m, l, c, o)
+    for a, b in zip(gp, gb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
