@@ -26,6 +26,9 @@ def yuv420_to_rgb(yuv: np.ndarray, width: int, height: int) -> np.ndarray:
     """One I420 frame ([h*3/2, w] uint8) -> RGB uint8 [h, w, 3]."""
     if _HAS_CV2:
         return cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420)
+    rgb = _native_yuv420_to_rgb(yuv, width, height)
+    if rgb is not None:
+        return rgb
     # numpy fallback: BT.601 video range (matches cv2's I420 path)
     y = yuv[:height].astype(np.float32)
     u = yuv[height : height + height // 4].reshape(height // 2, width // 2)
@@ -39,6 +42,29 @@ def yuv420_to_rgb(yuv: np.ndarray, width: int, height: int) -> np.ndarray:
     g = c - 0.392 * d - 0.813 * e
     b = c + 2.017 * d
     return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+
+
+def _native_yuv420_to_rgb(
+    yuv: np.ndarray, width: int, height: int
+) -> Optional[np.ndarray]:
+    """C++ decoder (native/yuv.cpp) — bit-identical to cv2's I420 path
+    (same OpenCV BT.601 fixed-point coefficients)."""
+    import ctypes
+
+    from gsvc_tpu.native import yuv_lib
+
+    lib = yuv_lib()
+    if lib is None:
+        return None
+    yuv = np.ascontiguousarray(yuv, np.uint8)
+    rgb = np.empty((height, width, 3), np.uint8)
+    lib.yuv420_to_rgb(
+        yuv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(width),
+        ctypes.c_int(height),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return rgb
 
 
 def iter_yuv_frames(

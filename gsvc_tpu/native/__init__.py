@@ -85,6 +85,46 @@ def rans_lib() -> Optional[ctypes.CDLL]:
     return _rans
 
 
+_yuv = None
+_yuv_tried = False
+
+
+def yuv_lib() -> Optional[ctypes.CDLL]:
+    """The YUV-decode shared library, building on first use; None if
+    unavailable (callers fall back to cv2/numpy, gsvc_tpu/io/yuv.py)."""
+    global _yuv, _yuv_tried
+    if _yuv_tried:
+        return _yuv
+    _yuv_tried = True
+    if os.environ.get("GSVC_TPU_DISABLE_NATIVE"):
+        return None
+    src = _SRC_DIR / "yuv.cpp"
+    name = "libgsvc_yuv.so"
+    for candidate in (_SRC_DIR / name, _build_dir() / name):
+        if candidate.exists() and candidate.stat().st_mtime >= src.stat().st_mtime:
+            lib = _load_yuv(candidate)
+            if lib is not None:
+                _yuv = lib
+                return _yuv
+    out = _build_dir() / name
+    if _compile(src, out):
+        _yuv = _load_yuv(out)
+    return _yuv
+
+
+def _load_yuv(path: Path) -> Optional[ctypes.CDLL]:
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.yuv420_to_rgb.restype = None
+        lib.yuv420_to_rgb.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        return lib
+    except OSError:  # pragma: no cover
+        return None
+
+
 def _load(path: Path) -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(str(path))

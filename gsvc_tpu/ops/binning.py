@@ -104,10 +104,16 @@ def _use_pallas_fill() -> bool:
 
 
 def static_capacity(max_intersects: int, tile_bounds: Tuple[int, int, int]) -> int:
-    """Static lane capacity S of the sorted layout for a given budget."""
+    """Static lane capacity S of the sorted layout for a given budget.
+
+    Aligned to the rasterizer's DMA chunk (>= LANE_ALIGN) so a row's last
+    chunk can overrun into the pad region without reading out of bounds."""
+    from gsvc_tpu.ops.rasterize_pallas import CHUNK
+
     tb_y = int(tile_bounds[1])
+    align = max(LANE_ALIGN, CHUNK)
     cap = max_intersects + (LANE_ALIGN - 1) * tb_y
-    return ((cap + LANE_ALIGN - 1) // LANE_ALIGN) * LANE_ALIGN
+    return ((cap + align - 1) // align) * align
 
 
 def bin_gaussians(

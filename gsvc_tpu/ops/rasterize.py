@@ -174,6 +174,20 @@ def rasterize_gaussians_sum(
             raise ValueError("return_alpha unsupported for layout='rows'")
         return img
 
+    if layout == "chw":
+        img = jax.lax.optimization_barrier(img)
+        img = jax.lax.cond(
+            total < 1,
+            lambda im: jnp.broadcast_to(
+                background[:, None, None].astype(im.dtype), im.shape
+            ),
+            lambda im: im,
+            img,
+        )
+        if return_alpha:
+            return img, jnp.zeros(img.shape[1:], img.dtype)
+        return img
+
     # Fusion firewall: without it XLA fuses the caller's elementwise ops
     # (the model's clip, the loss) INTO the untile transpose, turning a
     # fast copy kernel into a strided loop fusion — measured +5.5 ms at

@@ -61,7 +61,16 @@ from jax.experimental.pallas import tpu as pltpu
 from gsvc_tpu.ops.binning import LANE_ALIGN, BinnedSplats
 from gsvc_tpu.ops.rasterize_dense import ALPHA_CUTOFF
 
-CHUNK = LANE_ALIGN  # lanes per in-kernel DMA chunk
+# Lanes per in-kernel DMA chunk. May exceed LANE_ALIGN (the binning
+# layout's row-superblock alignment): a row's last chunk then overruns
+# into the next row's lanes, which is harmless — overrun lanes' tiles
+# belong to the next row, so the tile masks zero their contribution
+# (window path falls back to full width via the span check), their zeroed
+# backward lanes are rewritten by the next row's own sequential grid step,
+# and the static capacity is CHUNK-aligned so no DMA reads out of bounds.
+# 512 was tried and regressed 2x on the kernel: a 512-lane chunk spans
+# ~2x more tiles, so the 40-tile window fast path rarely triggers.
+CHUNK = 256
 DATA_ROWS = 16  # packed rows: x y c1 c2 c3 opac r g b ox oy tile (4 pad)
 
 # Dynamic tile window: chunk lanes are tile-sorted, so one chunk usually
@@ -225,8 +234,8 @@ def _forward_kernel(
 ):
     s = pl.program_id(0)
     r = row0_ref[0] + s
-    base = pl.multiple_of(rls_ref[r], CHUNK)
-    n_chunks = (rls_ref[r + 1] - rls_ref[r]) // CHUNK
+    base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
+    n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
     tile0 = r * tb_x
     A = _pixel_features(block_w, block_h)
     row_t, s0, s1, s2 = _row_selectors(out_ref.shape[0])
@@ -300,8 +309,8 @@ def _backward_kernel(
 ):
     s = pl.program_id(0)
     r = row0_ref[0] + s
-    base = pl.multiple_of(rls_ref[r], CHUNK)
-    n_chunks = (rls_ref[r + 1] - rls_ref[r]) // CHUNK
+    base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
+    n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
     tile0 = r * tb_x
     A = _pixel_features(block_w, block_h)
     row_t, s0, s1, s2 = _row_selectors(vout_ref.shape[0])
@@ -408,6 +417,36 @@ def _backward_kernel(
         out_dma(jax.lax.rem(n_chunks - 2, 2), n_chunks - 2).wait()
 
 
+def _rows_to_image_chw(out, num_rows, tb_x, block_w, block_h, img_h, img_w):
+    """[num_rows * R_OUT, pix] row blocks -> [3, img_h, img_w] planar image.
+
+    The planar untile keeps the block_w-wide pixel runs contiguous (the
+    HWC untile's minor dim is 3, which XLA transposes ~70x off bandwidth);
+    CHW is also the reference model's native output layout
+    (GaussianSplats_Represent.py forward returns [1, 3, H, W])."""
+    r_out = out.shape[0] // num_rows
+    pix = block_w * block_h
+    t = out.reshape(num_rows, r_out, pix)[:, : 3 * tb_x, :]
+    t = t.reshape(num_rows, tb_x, 3, block_h, block_w)
+    img = t.transpose(2, 0, 3, 1, 4).reshape(
+        3, num_rows * block_h, tb_x * block_w
+    )
+    return img[:, :img_h, :img_w]
+
+
+def _chw_to_vrows(g, num_rows, r_out, tb_x, block_w, block_h):
+    """[3, h, w] grad -> [num_rows * R_OUT, pix] tile-row blocks."""
+    h_pad = num_rows * block_h - g.shape[1]
+    w_pad = tb_x * block_w - g.shape[2]
+    gp = jnp.pad(g, ((0, 0), (0, h_pad), (0, w_pad)))
+    gp = gp.reshape(3, num_rows, block_h, tb_x, block_w)
+    gp = gp.transpose(1, 3, 0, 2, 4).reshape(
+        num_rows, 3 * tb_x, block_h * block_w
+    )
+    gp = jnp.pad(gp, ((0, 0), (0, r_out - 3 * tb_x), (0, 0)))
+    return gp.reshape(num_rows * r_out, block_h * block_w)
+
+
 def _rows_to_image(out, num_rows, tb_x, block_w, block_h, img_h, img_w):
     """[num_rows * R_OUT, pix] row blocks -> [img_h, img_w, 3] image."""
     r_out = out.shape[0] // num_rows
@@ -454,12 +493,14 @@ def rasterize_pallas(
     tile_rows: optional (row_offset (traced ok), num_rows (static)) — render
     only that tile-row span in global coordinates (image sharding).
 
-    layout: "image" -> [H, W, 3]; "rows" -> the kernel's native
-    [num_rows * round8(3*tb_x), block_h*block_w] tile-row blocks (row
-    (t, c) of a block holds channel c of tile t; see _rows_to_image).
-    Training losses that reduce pointwise (L1/L2) can consume "rows"
-    directly and skip the untile transpose forward AND backward
-    (~1.4 ms/step at 1080p on v5e)."""
+    layout: "image" -> [H, W, 3]; "chw" -> [3, H, W] planar (the untile
+    transpose keeps 16-wide pixel runs contiguous instead of minor-dim-3 —
+    much faster on TPU — and matches the reference model's native output);
+    "rows" -> the kernel's native [num_rows * round8(3*tb_x),
+    block_h*block_w] tile-row blocks (row (t, c) of a block holds channel
+    c of tile t; see _rows_to_image). Training losses that reduce
+    pointwise (L1/L2) can consume "rows" directly and skip the untile
+    transpose forward AND backward (~1.4 ms/step at 1080p on v5e)."""
     tb_y = int(tile_bounds[1])
     if tile_rows is None:
         row0, num_rows = jnp.int32(0), tb_y
@@ -526,9 +567,8 @@ def _forward_impl(
         return out, data
     partial_shard = num_rows != int(tile_bounds[1])
     out_h = num_rows * block_h if partial_shard else img_height
-    img = _rows_to_image(
-        out, num_rows, tb_x, block_w, block_h, out_h, img_width
-    )
+    untile = _rows_to_image_chw if layout == "chw" else _rows_to_image
+    img = untile(out, num_rows, tb_x, block_w, block_h, out_h, img_width)
     return img, data
 
 
@@ -555,6 +595,8 @@ def _rasterize_bwd(
     r_out = _round8(3 * tb_x)
     if layout == "rows":
         vrows = g  # already in the kernel's native tile-row block layout
+    elif layout == "chw":
+        vrows = _chw_to_vrows(g, num_rows, r_out, tb_x, block_w, block_h)
     else:
         vrows = _image_to_vrows(g, num_rows, r_out, tb_x, block_w, block_h)
 

@@ -66,3 +66,25 @@ def test_native_rejects_bad_pmf(lib):
         1, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     assert rc != 0
+
+
+def test_native_yuv_matches_cv2():
+    """native/yuv.cpp must be bit-identical to cv2's I420->RGB (and both
+    close to the numpy fallback)."""
+    import numpy as np
+
+    from gsvc_tpu.io.yuv import _native_yuv420_to_rgb, yuv420_to_rgb
+
+    rng = np.random.default_rng(0)
+    w, h = 64, 48
+    yuv = rng.integers(0, 256, (h * 3 // 2, w), np.uint8)
+    native = _native_yuv420_to_rgb(yuv, w, h)
+    assert native is not None, "native yuv lib failed to build"
+    try:
+        import cv2
+
+        ref = cv2.cvtColor(yuv, cv2.COLOR_YUV2RGB_I420)
+        np.testing.assert_array_equal(native, ref)
+    except ImportError:
+        ref = yuv420_to_rgb(yuv, w, h)
+        assert np.abs(native.astype(int) - ref.astype(int)).max() <= 2

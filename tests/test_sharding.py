@@ -91,3 +91,33 @@ def test_sharded_multi_step_training_descends():
         if first is None:
             first = float(loss[0])
     assert float(loss[0]) < first * 0.97
+
+
+def test_sharded_step_matches_single_device_pallas():
+    """Tile-sharded training with the PALLAS backend (interpret mode):
+    regression test for the uninitialized-vdata bug — per-shard backward
+    must mask lanes outside its tile-row span before the psum'd splat
+    reduction (ops/rasterize_pallas._reduce_lane_grads)."""
+    import gsvc_tpu.ops.rasterize_pallas as rp
+
+    rp.INTERPRET = True
+    try:
+        cfg, params, alive, opt, gt = _setup(2, H=64, W=48)
+        cfg = FrameConfig(**{**cfg.__dict__, "backend": "pallas"})
+        mesh = shard_frames_mesh(2, 2, jax.devices()[:4])
+        step = make_sharded_train_step(mesh, cfg, lr=1e-3)
+        new_params, new_opt, loss = step(params, alive, opt, gt)
+        ref_params, ref_opt, ref_loss = _single_device_step(
+            cfg, params, alive, opt, gt
+        )
+        np.testing.assert_allclose(
+            np.asarray(loss), np.asarray(ref_loss), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree.leaves(new_params), jax.tree.leaves(ref_params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+    finally:
+        rp.INTERPRET = False
