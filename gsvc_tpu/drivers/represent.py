@@ -217,11 +217,15 @@ def detect_k_frames(
     n = len(video_frames)
     for i in range(n):
         frame_num = i + 1
+        kd_points = getattr(args, "kdetect_points", 5000)
+        kd_iters = getattr(args, "kdetect_iterations", 500)
         k_tr = SimpleTrainer2d(
             video_frames[i], frame_num, loss_type=loss_type,
-            num_points=5000, max_num_points=5000, iterations=500,
+            num_points=kd_points, max_num_points=kd_points,
+            iterations=kd_iters,
             args=args, isdensity=False, isremoval=False,
             removal_rate=args.removal_rate, seed=args.seed,
+            backend=args.backend,
         )
         if frame_num == 1:
             gmodel, _ = k_tr.pre_train()
@@ -229,10 +233,11 @@ def detect_k_frames(
         else:
             p_tr = SimpleTrainer2d(
                 video_frames[i], frame_num, loss_type=loss_type,
-                num_points=5000, max_num_points=5000, iterations=100,
+                num_points=kd_points, max_num_points=kd_points,
+                iterations=max(kd_iters // 5, 1),
                 args=args, Trained_Model=gmodel, isdensity=False,
                 isremoval=False, removal_rate=args.removal_rate,
-                seed=args.seed,
+                seed=args.seed, backend=args.backend,
             )
             gmodel, loss_k = k_tr.pre_train()
             _, loss_p = p_tr.pre_train()
@@ -280,6 +285,11 @@ def parse_args(argv):
     p.add_argument("--is_ad", action="store_true")
     p.add_argument("--is_rm", action="store_true")
     p.add_argument("--backend", type=str, default="auto")
+    # K-frame detection pre-train size (reference hardcodes 5000 splats /
+    # 500+100 iterations, train_video_Represent.py:322-330; exposed as
+    # flags so small runs/tests can shrink the pass)
+    p.add_argument("--kdetect_points", type=int, default=5000)
+    p.add_argument("--kdetect_iterations", type=int, default=500)
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
     return p.parse_args(argv)
 

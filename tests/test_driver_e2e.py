@@ -1,0 +1,83 @@
+"""End-to-end driver tests: represent -> checkpoint -> compress, on a tiny
+synthetic YUV video (CPU, binned backend). The reference has zero driver
+tests (SURVEY.md §4); these guard the full artifact pipeline."""
+
+import numpy as np
+import pytest
+
+from gsvc_tpu.drivers import compress as compress_driver
+from gsvc_tpu.drivers import represent as represent_driver
+
+
+def _write_synth_yuv(path, W=48, H=32, F=3):
+    rng = np.random.default_rng(0)
+    with open(path, "wb") as fo:
+        for f in range(F):
+            yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+            img = np.zeros((H, W, 3), np.float32)
+            for b in range(4):
+                cx, cy = rng.uniform(5, W - 5), rng.uniform(5, H - 5)
+                s = rng.uniform(3, 8)
+                col = rng.uniform(0.3, 1.0, 3)
+                g = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+                img += g[..., None] * col
+            rgb = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            r, g_, b = (rgb[..., i].astype(np.float32) for i in range(3))
+            y = np.clip(16 + (65.738 * r + 129.057 * g_ + 25.064 * b) / 256, 0, 255)
+            u = np.clip(128 + (-37.945 * r - 74.494 * g_ + 112.439 * b) / 256, 0, 255)
+            v = np.clip(128 + (112.439 * r - 94.154 * g_ - 18.285 * b) / 256, 0, 255)
+            fo.write(y.astype(np.uint8).tobytes())
+            fo.write(u[::2, ::2].astype(np.uint8).tobytes())
+            fo.write(v[::2, ::2].astype(np.uint8).tobytes())
+    return path
+
+
+def test_represent_then_compress_e2e(tmp_path):
+    yuv = _write_synth_yuv(tmp_path / "synth_48x32.yuv")
+    ckpt = tmp_path / "ckpt"
+    argv = [
+        "-d", str(yuv), "--data_name", "synth",
+        "--width", "48", "--height", "32", "--image_length", "3",
+        "--num_points", "40", "--iterations", "30",
+        "--kdetect_points", "30", "--kdetect_iterations", "10",
+        "--is_rm", "--backend", "binned",
+        "--checkpoint_dir", str(ckpt),
+        "--savdir", "result", "--savdir_m", "models",
+    ]
+    represent_driver.main(argv)
+
+    run = "GaussianVideo_30_40"
+    out_dir = ckpt / "result" / "synth" / run
+    model_dir = ckpt / "models" / "synth" / run
+    assert (out_dir / "train.txt").exists()
+    assert (ckpt / "result" / "synth" / "K_frames.txt").exists()
+    ckpt_file = model_dir / "gmodels_state_dict.npz"
+    assert ckpt_file.exists()
+    state = np.load(ckpt_file)
+    assert "frame_1/_xyz" in state
+    k_frames = [
+        int(line)
+        for line in (ckpt / "result" / "synth" / "K_frames.txt")
+        .read_text()
+        .splitlines()
+    ]
+    assert k_frames[0] == 1
+
+    train_lines = (out_dir / "train.txt").read_text()
+    assert "PSNR" in train_lines or "psnr" in train_lines.lower()
+
+    cargv = [
+        "-d", str(yuv), "--data_name", "synth",
+        "--width", "48", "--height", "32", "--image_length", "3",
+        "--num_points", "40", "--iterations", "20",
+        "--model_path", str(ckpt_file),
+        "--backend", "binned",
+        "--checkpoint_dir", str(ckpt),
+        "--k_frames_dir", str(ckpt),
+        "--savdir", "result", "--savdir_m", "cmodels",
+    ]
+    compress_driver.main(cargv)
+    cout = ckpt / "result" / "synth" / "GaussianVideo_20_40"
+    assert (cout / "train.txt").exists()
+    ctext = (cout / "train.txt").read_text()
+    assert "bpp" in ctext.lower()
