@@ -62,11 +62,17 @@ def main():
     colors = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
     opacity = jnp.ones((n, 1), jnp.float32)
 
+    # Eval forward renders the planar [3, H, W] image — the reference
+    # model's own forward layout (GaussianSplats_Represent.py returns
+    # [1, 3, H, W]); the pallas backend emits it directly from the kernel
+    # (rasterize_pallas._forward_kernel_chw), no untile transpose.
+    eval_layout = "chw" if args.backend == "pallas" else "image"
+
     def forward(m, l, c):
         xys, d, radii, conics, nth = project_gaussians_2d(m, l, H, W, tb)
         img = rasterize_gaussians_sum(
             xys, d, radii, conics, nth, c, opacity, H, W,
-            backend=args.backend,
+            backend=args.backend, layout=eval_layout,
         )
         return jnp.clip(img, 0.0, 1.0)
 

@@ -28,6 +28,7 @@ from gsvc_tpu.models.compress import (
     measure_bits,
 )
 from gsvc_tpu.utils.logwriter import LogWriter
+from gsvc_tpu.utils.profiling import _sync
 from gsvc_tpu.utils.metrics import ms_ssim
 
 
@@ -114,7 +115,7 @@ def main(argv):
         state = init_compress_state(key, gmodel, p_gmodel)
         t0 = time.time()
         state = fit_compress(state, gt, cfg)
-        jax.block_until_ready(state.params.xyz)
+        _sync(state.params.xyz)  # transfer sync: relay block_until_ready is unreliable
         train_time = time.time() - t0
         overflow = int(compress_overflow(state, cfg))
         if overflow > 0:
@@ -139,11 +140,11 @@ def main(argv):
             )[0]
         )
         out = fq(state.params, state.vq)
-        jax.block_until_ready(out)
+        _sync(out)
         t0 = time.time()
         for _ in range(100):
             out = fq(state.params, state.vq)
-        jax.block_until_ready(out)
+        _sync(out)
         eval_time = (time.time() - t0) / 100
 
         img_list.append(np.asarray(img * 255).astype(np.uint8))

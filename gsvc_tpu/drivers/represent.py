@@ -42,6 +42,7 @@ from gsvc_tpu.models.represent import (
 )
 from gsvc_tpu.utils.control import detect_outliers_mean_diff
 from gsvc_tpu.utils.logwriter import LogWriter
+from gsvc_tpu.utils.profiling import _sync
 from gsvc_tpu.utils.metrics import ms_ssim
 
 
@@ -126,7 +127,7 @@ class SimpleTrainer2d:
     def train(self, ispos: bool = False):
         t0 = time.time()
         res = fit_frame(self.state, self.gt, self.cfg)
-        jax.block_until_ready(res.state.params.xyz)
+        _sync(res.state.params.xyz)  # transfer sync: relay block_until_ready is unreliable
         train_time = time.time() - t0
         self.state = res.state
         num_points = int(jnp.sum(res.state.alive))
@@ -144,11 +145,11 @@ class SimpleTrainer2d:
             lambda p, a: render_frame(p, a, self.cfg)
         ).lower(res.state.params, res.state.alive).compile()
         out = render(res.state.params, res.state.alive)
-        jax.block_until_ready(out)
+        _sync(out)
         t0 = time.time()
         for _ in range(100):
             out = render(res.state.params, res.state.alive)
-        jax.block_until_ready(out)
+        _sync(out)
         eval_time = (time.time() - t0) / 100
         gmodel = gmodel_from_state(res.state.params, res.state.alive)
         return (

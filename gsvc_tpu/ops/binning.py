@@ -142,6 +142,11 @@ def bin_gaussians(
         raise ValueError(
             f"num_points {n} exceeds the 23-bit gaussian-id packing"
         )
+    if max_intersects >= (1 << 23):
+        raise ValueError(
+            f"max_intersects {max_intersects} exceeds the 23-bit start-slot "
+            "packing of the seed rows"
+        )
 
     radius_f = radii.astype(xys.dtype)
     tmin_x, tmin_y, tmax_x, tmax_y = _tile_bbox(
@@ -177,17 +182,39 @@ def bin_gaussians(
         )
         return s
 
-    # g << 8 | field keeps each row's running max owned by the newest
-    # gaussian (g < 2^23 for int32 safety; splat counts are ~1e4-1e5).
-    seeds = jnp.stack(
-        [
-            seed_fill(starts_g, -1),
-            seed_fill((gid << 8) | bbox_w, -1),
-            seed_fill((gid << 8) | tmin_x, -1),
-            seed_fill((gid << 8) | tmin_y, -1),
-        ]
-    )
+    # Packed seed rows (each monotone in gaussian id so the forward-fill
+    # running max stays owned by the newest gaussian). Every row is one XLA
+    # scatter — a serial ~7-cycles-per-update loop on TPU — so fewer rows
+    # is a direct win: 2 rows when (g+1)<<16 fits int32 (n <= 32767, covers
+    # every GSVC operating point), 3 rows up to the 2^23 id limit.
+    # starts_g < 2^23 (max_intersects budget) so (start << 8) | bbox_w fits.
     fast_key_path = n < 0xFFFF and num_tiles < 0x10000 and _use_pallas_fill()
+    if fast_key_path and n <= 32767:
+        seeds = jnp.stack(
+            [
+                seed_fill((starts_g << 8) | bbox_w, -1),
+                seed_fill(
+                    ((gid + 1) << 16) | (tmin_x << 8) | tmin_y, -1
+                ),
+            ]
+        )
+    elif fast_key_path:
+        seeds = jnp.stack(
+            [
+                seed_fill((starts_g << 8) | bbox_w, -1),
+                seed_fill((gid << 8) | tmin_x, -1),
+                seed_fill((gid << 8) | tmin_y, -1),
+            ]
+        )
+    else:
+        seeds = jnp.stack(
+            [
+                seed_fill(starts_g, -1),
+                seed_fill((gid << 8) | bbox_w, -1),
+                seed_fill((gid << 8) | tmin_x, -1),
+                seed_fill((gid << 8) | tmin_y, -1),
+            ]
+        )
     if fast_key_path:
         # Single-pass Pallas fill+decode: XLA's associative_scan makes
         # log2(I) full HBM passes (+0.83 ms at I=160k on v5e); the

@@ -33,10 +33,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Lanes per grid step. 4096 int32 lanes x 4 payload rows = 64 KiB VMEM
-# per buffered block — small enough to double-buffer, big enough that the
-# ~20 shift steps amortize.
-BLK = 4096
+# Lanes per grid step. 16384 int32 lanes x <=4 payload rows = 256 KiB VMEM
+# per buffered block; larger blocks amortize the per-grid-step overhead
+# (~2-4 us/step measured on v5e — at 4096 lanes the 40 steps of a 160k-lane
+# fill cost more than the scan itself).
+BLK = 16384
 
 # Run in the Pallas interpreter (CPU tests). Toggled by tests.
 INTERPRET = False
@@ -55,7 +56,7 @@ def _lane_scan_max(x, blk):
 
 def _fill_kernel(
     total_ref,  # [1] SMEM scalar prefetch: total kept intersections
-    seeds_ref,  # [1, 4, BLK] VMEM block of scattered seeds (-1 = empty)
+    seeds_ref,  # [1, R, BLK] VMEM block of scattered seeds (-1 = empty)
     keys_ref,  # [1, 1, BLK] uint32 output: (tile << 16 | gauss) sort keys
     carry,  # [8, 128] VMEM scratch: running max per payload row (col 0)
     *,
@@ -63,6 +64,7 @@ def _fill_kernel(
     tb_x: int,
     num_tiles: int,
     n: int,
+    rows: int,
 ):
     b = pl.program_id(0)
 
@@ -70,22 +72,40 @@ def _fill_kernel(
     def _init():
         carry[...] = jnp.full_like(carry, -1)
 
-    x = seeds_ref[0]  # [4, blk]
+    x = seeds_ref[0]  # [rows, blk]
     x = _lane_scan_max(x, blk)
-    x = jnp.maximum(x, carry[0:4, 0:1])
-    carry[0:4, 0:1] = x[:, blk - 1 : blk]
+    x = jnp.maximum(x, carry[0:rows, 0:1])
+    carry[0:rows, 0:1] = x[:, blk - 1 : blk]
 
     # decode (mirrors ops/binning.py): lane's rank inside its gaussian's
     # tile bbox -> row-major tile id; invalid lanes get sentinel ids.
+    # Seed formats (all rows monotone in gaussian id, so the running max
+    # forward-fills each lane with its owning gaussian's values):
+    #   rows=2: [(start << 8) | bbox_w, ((g+1) << 16) | (tmin_x << 8) | tmin_y]
+    #   rows=3: [(start << 8) | bbox_w, (g << 8) | tmin_x, (g << 8) | tmin_y]
+    #   rows=4: [start, (g << 8) | bbox_w, (g << 8) | tmin_x, (g << 8) | tmin_y]
     i = b * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
-    start_of_g = x[0:1, :]
-    g = x[1:2, :] >> 8
+    if rows == 2:
+        start_of_g = x[0:1, :] >> 8
+        bw = jnp.maximum(x[0:1, :] & 0xFF, 1)
+        g = (x[1:2, :] >> 16) - 1
+        tx0 = (x[1:2, :] >> 8) & 0xFF
+        ty0 = x[1:2, :] & 0xFF
+    elif rows == 3:
+        start_of_g = x[0:1, :] >> 8
+        bw = jnp.maximum(x[0:1, :] & 0xFF, 1)
+        g = x[1:2, :] >> 8
+        tx0 = x[1:2, :] & 0xFF
+        ty0 = x[2:3, :] & 0xFF
+    else:
+        start_of_g = x[0:1, :]
+        g = x[1:2, :] >> 8
+        bw = jnp.maximum(x[1:2, :] & 0xFF, 1)
+        tx0 = x[2:3, :] & 0xFF
+        ty0 = x[3:4, :] & 0xFF
     valid = (i < total_ref[0]) & (g >= 0)
     g_safe = jnp.maximum(g, 0)
     slot = i - start_of_g
-    bw = jnp.maximum(x[1:2, :] & 0xFF, 1)
-    tx0 = x[2:3, :] & 0xFF
-    ty0 = x[3:4, :] & 0xFF
     q = jnp.floor(
         (slot.astype(jnp.float32) + 0.5) / bw.astype(jnp.float32)
     ).astype(jnp.int32)
@@ -105,31 +125,35 @@ def fill_decode_keys(
     num_tiles: int,
     n: int,
 ) -> jax.Array:
-    """[4, I] scattered seeds -> [I] uint32 (tile << 16 | gauss) sort keys.
+    """[R, I] scattered seeds -> [I] uint32 (tile << 16 | gauss) sort keys.
 
-    seeds rows: [start_of_g, g<<8|bbox_w, g<<8|tmin_x, g<<8|tmin_y] scattered
-    at each kept gaussian's exclusive start slot, -1 elsewhere (the
-    bin_gaussians seed layout). Sentinel lanes (beyond total_kept or before
-    the first seed) key as (num_tiles << 16 | 0xFFFF).
+    R in {2, 3, 4} selects the packed seed format (see _fill_kernel);
+    seeds are scattered at each kept gaussian's exclusive start slot, -1
+    elsewhere. Fewer rows = fewer XLA scatters upstream (each is a serial
+    ~7-cycles-per-update loop on TPU, ~70 us at N=10k). Sentinel lanes
+    (beyond total_kept or before the first seed) key as
+    (num_tiles << 16 | 0xFFFF).
     """
+    rows = seeds.shape[0]
     i_total = seeds.shape[1]
     pad = (-i_total) % BLK
     if pad:
         seeds = jnp.pad(seeds, ((0, 0), (0, pad)), constant_values=-1)
     nb = seeds.shape[1] // BLK
-    # [nb, 4, BLK] so the block's trailing dims (4, BLK) match the array
+    # [nb, R, BLK] so the block's trailing dims (R, BLK) match the array
     # (Mosaic block-shape rule); the transpose is a cheap minor-dim-
     # preserving copy.
-    seeds3 = seeds.reshape(4, nb, BLK).transpose(1, 0, 2)
+    seeds3 = seeds.reshape(rows, nb, BLK).transpose(1, 0, 2)
 
     kernel = functools.partial(
-        _fill_kernel, blk=BLK, tb_x=tb_x, num_tiles=num_tiles, n=n
+        _fill_kernel, blk=BLK, tb_x=tb_x, num_tiles=num_tiles, n=n,
+        rows=rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, 4, BLK), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, rows, BLK), lambda b, t: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, BLK), lambda b, t: (b, 0, 0)),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],

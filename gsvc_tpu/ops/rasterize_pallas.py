@@ -170,6 +170,17 @@ def _splat_features(d):
     )
 
 
+# Split-bf16 kernel matmuls. Mosaic lowers an f32 dot_general to a
+# multi-pass MXU emulation regardless of the `precision` flag (measured:
+# HIGHEST/HIGH/DEFAULT are bit-identical AND time-identical in-kernel), so
+# the only real lever is operand dtype. The pixel-feature matrix A is
+# integer-valued <= 225, hence EXACT in bf16; the other operands get
+# explicit hi/lo (or hi/mid/lo) bf16 splits CONCATENATED into the
+# contraction dim, so each logical matmul stays a single dot at ~1e-5
+# absolute error (vs the reference CUDA's fast-math f32; validated on-chip,
+# saves ~0.2 ms/frame at 1080p). False = exact f32 (slow, for debugging).
+SPLIT_MM = True
+
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
@@ -177,6 +188,56 @@ def _dot(a, b, dims):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),
         preferred_element_type=jnp.float32, precision=_HIGHEST,
+    )
+
+
+def _bf16_split2(x):
+    """x ~= hi + lo with bf16 parts (16 mantissa bits, ~2^-16 residual)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _bf16_split3(x):
+    """x ~= hi + mid + lo with bf16 parts (~2^-24 residual)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot_exact_a(a_bf16, b, dims):
+    """dot(a, b) where `a` is exactly representable in bf16.
+
+    b splits 3-way along the contraction dim (the sigma matmul's k is 6, so
+    3x still fits one 128-deep MXU pass; the vB matmul's k grows 256->768).
+    """
+    if not SPLIT_MM:
+        return _dot(a_bf16.astype(jnp.float32), b, dims)
+    (ca,), (cb,) = dims
+    bh, bm, bl = _bf16_split3(b)
+    a3 = jnp.concatenate([a_bf16] * 3, axis=ca)
+    b3 = jnp.concatenate([bh, bm, bl], axis=cb)
+    return jax.lax.dot_general(
+        a3, b3, dimension_numbers=(((ca,), (cb,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_split(a, b, dims):
+    """dot(a, b) with both operands split hi/lo; drops only the lo*lo term
+    (~2^-16 relative), one 3x-contraction bf16 dot."""
+    if not SPLIT_MM:
+        return _dot(a, b, dims)
+    (ca,), (cb,) = dims
+    ah, al = _bf16_split2(a)
+    bh, bl = _bf16_split2(b)
+    a3 = jnp.concatenate([ah, al, ah], axis=ca)
+    b3 = jnp.concatenate([bh, bh, bl], axis=cb)
+    return jax.lax.dot_general(
+        a3, b3, dimension_numbers=(((ca,), (cb,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -209,7 +270,8 @@ def _window_anchor(d, tile0, tb_x: int):
 def _chunk_eval(d, A, block_w: int, block_h: int):
     """Shared forward math on one [16, CHUNK] data block."""
     gx, gy, c1, c2, c3, B = _splat_features(d)
-    sigma = _dot(A, B, ((1,), (0,)))  # [pix, C] MXU
+    # A is integer-valued (exact in bf16); B splits 3-way -> one k=18 dot.
+    sigma = _dot_exact_a(A.astype(jnp.bfloat16), B, ((1,), (0,)))  # [pix, C]
     vis = jnp.exp(-sigma)
     alpha_u = d[5:6, :] * vis
     alpha = jnp.minimum(1.0, alpha_u)
@@ -274,7 +336,7 @@ def _forward_kernel(
         def full_acc():
             _mask, rexp = _tile_mask_and_rgb(d, row_t, s0, s1, s2, tile0)
             # acc[(t, ch), p] += sum_k rexp[(t,ch), k] * w[p, k]  (MXU)
-            out_ref[...] += _dot(rexp, w, ((1,), (1,)))
+            out_ref[...] += _dot_split(rexp, w, ((1,), (1,)))
 
         if not windowed:
             full_acc()
@@ -288,7 +350,7 @@ def _forward_kernel(
                 d, row_tw, w0, w1, w2, tile0 + anchor
             )
             roff = pl.multiple_of(3 * anchor, 8)
-            out_ref[pl.ds(roff, r_win), :] += _dot(rexp, w, ((1,), (1,)))
+            out_ref[pl.ds(roff, r_win), :] += _dot_split(rexp, w, ((1,), (1,)))
 
         @pl.when(jnp.logical_not(span_ok))
         def _full():
@@ -297,6 +359,122 @@ def _forward_kernel(
         return carry
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _row_selectors_cmajor(rows: int, cs: int, t0: int | jax.Array = 0):
+    """[rows, 1] selectors for CHANNEL-MAJOR accumulator rows.
+
+    Row (c * cs + t) holds channel c of tile (t0 + t); cs (the channel
+    stride) is 8-aligned so per-channel dynamic-slice writes stay
+    sublane-aligned. Rows with t >= tb_x (stride padding) never match a
+    lane tile because real local tiles are < tb_x <= cs."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    row_c = idx // cs
+    row_t = idx % cs + t0
+    s0 = (row_c == 0).astype(jnp.float32)
+    s1 = (row_c == 1).astype(jnp.float32)
+    s2 = (row_c == 2).astype(jnp.float32)
+    return row_t, s0, s1, s2
+
+
+def _forward_kernel_chw(
+    row0_ref, rls_ref,  # scalar prefetch
+    data_ref,  # [16, S] in ANY (HBM), manually chunk-DMA'd
+    out_ref,  # [3, 1, block_h, tb_x, block_w] VMEM block: CHW row slab
+    acc, buf, sem,  # scratch: [3*cs, pix] f32 acc, [2, 16, CHUNK], DMA sems
+    *, tb_x: int, cs: int, block_w: int, block_h: int,
+):
+    """Forward kernel with a direct planar-CHW output.
+
+    Same streaming loop as `_forward_kernel`, but the accumulator is a
+    CHANNEL-MAJOR VMEM scratch (row c*cs + t), and an epilogue relayouts it
+    to the [3, block_h, tb_x, block_w] = (c, py, t, px) block whose HBM
+    layout IS the planar image slab for this tile row. This deletes the
+    XLA untile transpose (measured 1.06 ms at 1080p on v5e: its 64-byte
+    pixel runs read HBM at ~1/20 bandwidth); the one lane-crossing
+    relayout now happens per ROW in VMEM instead of per image in HBM.
+    """
+    s = pl.program_id(0)
+    r = row0_ref[0] + s
+    base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
+    n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
+    tile0 = r * tb_x
+    A = _pixel_features(block_w, block_h)
+    row_t, s0, s1, s2 = _row_selectors_cmajor(3 * cs, cs)
+    windowed = tb_x > WINDOW_TILES
+
+    def in_dma(slot, c):
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _start():
+        in_dma(0, 0).start()
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def body(c, carry):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _prefetch():
+            in_dma(1 - slot, c + 1).start()
+
+        in_dma(slot, c).wait()
+        d = buf[slot]
+        _gx, _gy, _c1, _c2, _c3, _sig, _vis, _au, alpha, valid = _chunk_eval(
+            d, A, block_w, block_h
+        )
+        w = jnp.where(valid, alpha, 0.0)  # [pix, C]
+
+        def full_acc():
+            _mask, rexp = _tile_mask_and_rgb(d, row_t, s0, s1, s2, tile0)
+            acc[...] += _dot_split(rexp, w, ((1,), (1,)))
+
+        if not windowed:
+            full_acc()
+            return carry
+
+        anchor, span_ok = _window_anchor(d, tile0, tb_x)
+
+        @pl.when(span_ok)
+        def _windowed():
+            rtw, w0, w1, w2 = _row_selectors_cmajor(
+                3 * WINDOW_TILES, WINDOW_TILES, anchor
+            )
+            _m, rexp = _tile_mask_and_rgb(d, rtw, w0, w1, w2, tile0)
+            res = _dot_split(rexp, w, ((1,), (1,)))  # [3*WT, pix] c-major
+            for ch in range(3):
+                off = pl.multiple_of(ch * cs + anchor, 8)
+                acc[pl.ds(off, WINDOW_TILES), :] += res[
+                    ch * WINDOW_TILES : (ch + 1) * WINDOW_TILES, :
+                ]
+
+        @pl.when(jnp.logical_not(span_ok))
+        def _full():
+            full_acc()
+
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    # epilogue: c-major rows -> (c, py, t, px). Only sublane-safe reshapes
+    # plus two Mosaic 2D/3D transposes (validated exact on-chip).
+    av = acc[...]
+    if cs == tb_x:
+        X = av
+    else:
+        X = jnp.concatenate(
+            [av[ch * cs : ch * cs + tb_x, :] for ch in range(3)], axis=0
+        )  # [3*tb_x, pix]
+    T = X.T  # [pix, 3*tb_x] rows (py, px)
+    T3 = T.reshape(block_h, block_w, 3 * tb_x)
+    T4 = jnp.transpose(T3, (0, 2, 1))  # [py, (c, t), px]
+    T5 = T4.reshape(block_h, 3, tb_x, block_w)
+    out_ref[...] = jnp.transpose(T5, (1, 0, 2, 3))[:, None]
 
 
 def _backward_kernel(
@@ -363,10 +541,12 @@ def _backward_kernel(
             # v_alpha[p, k] = sum_ch rgb[ch, k] * v_out_{tile(k)}[ch, p]
             # (backward.cu:826-829), via the tile-blocked matmul.
             v_alpha = jnp.where(
-                valid, _dot(vout_x, rexp, ((0,), (0,))), 0.0
+                valid, _dot_split(vout_x, rexp, ((0,), (0,))), 0.0
             )  # [pix, C]
             v_sigma = -alpha_u * v_alpha  # min(1,.) clamp is forward-only
-            vB = _dot(A, v_sigma, ((0,), (0,)))  # [6, C] MXU
+            vB = _dot_exact_a(
+                A.astype(jnp.bfloat16), v_sigma, ((0,), (0,))
+            )  # [6, C] MXU
             vB3, vB4, vB5 = vB[3:4, :], vB[4:5, :], vB[5:6, :]
             v_c1 = 0.5 * (vB[0:1, :] + gx * (gx * vB5 - 2.0 * vB3))
             v_c3 = 0.5 * (vB[1:2, :] + gy * (gy * vB5 - 2.0 * vB4))
@@ -376,7 +556,7 @@ def _backward_kernel(
             v_opac = jnp.sum(vis * v_alpha, axis=0, keepdims=True)  # [1, C]
             # M[(t, ch), k] = sum_p vout[(t,ch), p] * w[p, k]; lane k keeps
             # only its own tile's rows -> mask, fold rows by one-hots.
-            M = jnp.where(mask, _dot(vout_x, w, ((1,), (0,))), 0.0)
+            M = jnp.where(mask, _dot_split(vout_x, w, ((1,), (0,))), 0.0)
             v_r = jnp.sum(M * sx0, axis=0, keepdims=True)
             v_g = jnp.sum(M * sx1, axis=0, keepdims=True)
             v_b = jnp.sum(M * sx2, axis=0, keepdims=True)
@@ -540,6 +720,43 @@ def _forward_impl(
     data = _pack_lanes(
         binned, xys, conics, colors, opacity, tb_x, block_w, block_h
     )  # [16, S]
+    partial_shard = num_rows != int(tile_bounds[1])
+    out_h = num_rows * block_h if partial_shard else img_height
+
+    if layout == "chw":
+        # direct planar output from the kernel — no XLA untile transpose
+        cs = _round8(tb_x)
+        kernel = functools.partial(
+            _forward_kernel_chw, tb_x=tb_x, cs=cs,
+            block_w=block_w, block_h=block_h,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_rows,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (3, 1, block_h, tb_x, block_w),
+                lambda s, r0, rls: (0, s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3 * cs, pix), jnp.float32),
+                pltpu.VMEM((2, DATA_ROWS, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (3, num_rows, block_h, tb_x, block_w), jnp.float32
+            ),
+            interpret=INTERPRET,
+        )(row0.reshape(1), binned.row_lane_start, data)
+        img = out.reshape(3, num_rows * block_h, tb_x * block_w)[
+            :, :out_h, :img_width
+        ]
+        return img, data
 
     kernel = functools.partial(
         _forward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h
@@ -565,10 +782,7 @@ def _forward_impl(
 
     if layout == "rows":
         return out, data
-    partial_shard = num_rows != int(tile_bounds[1])
-    out_h = num_rows * block_h if partial_shard else img_height
-    untile = _rows_to_image_chw if layout == "chw" else _rows_to_image
-    img = untile(out, num_rows, tb_x, block_w, block_h, out_h, img_width)
+    img = _rows_to_image(out, num_rows, tb_x, block_w, block_h, out_h, img_width)
     return img, data
 
 

@@ -30,6 +30,24 @@ def trace(log_dir: str, create_perfetto_link: bool = False):
         jax.profiler.stop_trace()
 
 
+def _sync(out) -> None:
+    """True device sync: transfer one element of the first array leaf.
+
+    On the tunneled/relayed TPU backend `jax.block_until_ready` can return
+    before execution finishes (measured: a 50-iteration matmul loop
+    "blocked" in 0.2 ms, then took 36 s at transfer). A host transfer is
+    the only reliable barrier, so every timing helper here syncs by
+    fetching one element (the transfer itself costs a relay round-trip,
+    which the differential method in `device_loop_time` cancels).
+    """
+    import numpy as np
+
+    leaves = jax.tree.leaves(out)
+    if not leaves:
+        return
+    np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+
+
 def time_fn(
     fn: Callable,
     *args,
@@ -39,22 +57,24 @@ def time_fn(
 ) -> float:
     """Mean wall-clock seconds per call of a (jitted) function.
 
-    block_every_call=True blocks on each call's output — required for honest
+    block_every_call=True syncs each call's output — required for honest
     numbers on tunneled/relayed backends where async dispatch otherwise
-    hides per-call latency (the measurement style behind BENCH numbers).
+    hides per-call latency. NOTE: each sync pays a relay round-trip, so
+    per-call numbers include dispatch overhead; prefer `device_loop_time`
+    for kernel-level costs.
     """
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     if block_every_call:
         for _ in range(iters):
-            jax.block_until_ready(fn(*args))
+            _sync(fn(*args))
     else:
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -63,30 +83,50 @@ def device_loop_time(
     x0,
     reps: int = 100,
     outer: int = 3,
+    ratio: int = 4,
 ) -> float:
     """Mean seconds per iteration of the type-preserving chain x -> fn(x),
-    measured with the repetition INSIDE one jitted lax.fori_loop.
+    measured DIFFERENTIALLY with the repetition INSIDE jitted lax.fori_loops.
 
-    This is the only honest per-op timing through a relayed/tunneled
-    backend: per-call dispatch (which the relay inflates to ~1 ms and which
-    varies run to run) amortizes over `reps` device-side iterations, and the
-    data dependency serializes them. `fn` must keep NaN-safe float semantics
-    in its chain fold (XLA does not fold f32 x*0 -> 0, so `x + leaf * 0.0`
-    survives; integer folds would be eliminated).
+    Honest through a relayed/tunneled backend on two counts:
+    - per-call dispatch amortizes over device-side iterations, and the data
+      dependency serializes them;
+    - the relay's unreliable `block_until_ready` (see `_sync`) is replaced
+      by a transfer sync, and the transfer's round-trip cost cancels in the
+      difference: per-iter = (t(ratio*reps) - t(reps)) / ((ratio-1)*reps).
+
+    `fn` must keep its chain fold data-dependent (fold outputs with
+    `x + leaf_sum * 0.0`; XLA does not fold f32 x*0 through pallas_call
+    boundaries, but pure-XLA permutations DO get folded — pin those with
+    an optimization_barrier inside fn if needed).
     """
-    import jax.numpy as jnp  # noqa: F401 (kept for parity with callers)
 
-    @jax.jit
-    def run(x):
-        return jax.lax.fori_loop(0, reps, lambda i, xx: fn(xx), x)
+    def make(r):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, r, lambda i, xx: fn(xx), x)
 
-    x = run(x0)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
+        return run
+
+    r1, r2 = reps, reps * ratio
+    run1, run2 = make(r1), make(r2)
+    # compile + warm both
+    x = run1(x0)
+    _sync(x)
+    x = run2(x)
+    _sync(x)
+
+    total = 0.0
     for _ in range(outer):
-        x = run(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / (reps * outer)
+        t0 = time.perf_counter()
+        x = run1(x)
+        _sync(x)
+        t1 = time.perf_counter()
+        x = run2(x)
+        _sync(x)
+        t2 = time.perf_counter()
+        total += (t2 - t1) - (t1 - t0)
+    return total / ((r2 - r1) * outer)
 
 
 class StepTimer:
@@ -110,7 +150,7 @@ class StepTimer:
             yield
         finally:
             if sync is not None:
-                jax.block_until_ready(sync)
+                _sync(sync)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

@@ -70,6 +70,61 @@ def test_pallas_fill_budget_overflow(_pallas_interpret):
         )
 
 
+def test_fill_seed_formats_agree(_pallas_interpret):
+    """The 2/3/4-row packed seed formats decode to identical sort keys.
+
+    bin_gaussians picks the narrowest format that fits the gaussian-id
+    width (fewer XLA scatters); the fill kernel must decode all three the
+    same way.
+    """
+    rng = np.random.default_rng(7)
+    n, tb_x, num_tiles, mi = 40, 8, 48, 256
+    nth = rng.integers(0, 6, n).astype(np.int32)
+    cum = np.cumsum(nth)
+    starts = (cum - nth).astype(np.int32)
+    kept = (cum <= mi) & (nth > 0)
+    bbox_w = rng.integers(1, 4, n).astype(np.int32)
+    tmin_x = rng.integers(0, 5, n).astype(np.int32)
+    tmin_y = rng.integers(0, 5, n).astype(np.int32)
+    gid = np.arange(n, dtype=np.int32)
+    total_kept = jnp.int32(int(np.where(kept, nth, 0).sum()))
+
+    def scatter(payload):
+        s = np.full(mi, -1, np.int64)
+        for g in range(n):
+            if kept[g]:
+                s[starts[g]] = max(s[starts[g]], payload[g])
+        return jnp.asarray(s.astype(np.int32))
+
+    seeds2 = jnp.stack(
+        [
+            scatter((starts.astype(np.int64) << 8) | bbox_w),
+            scatter(((gid.astype(np.int64) + 1) << 16) | (tmin_x << 8) | tmin_y),
+        ]
+    )
+    seeds3 = jnp.stack(
+        [
+            scatter((starts.astype(np.int64) << 8) | bbox_w),
+            scatter((gid.astype(np.int64) << 8) | tmin_x),
+            scatter((gid.astype(np.int64) << 8) | tmin_y),
+        ]
+    )
+    seeds4 = jnp.stack(
+        [
+            scatter(starts.astype(np.int64)),
+            scatter((gid.astype(np.int64) << 8) | bbox_w),
+            scatter((gid.astype(np.int64) << 8) | tmin_x),
+            scatter((gid.astype(np.int64) << 8) | tmin_y),
+        ]
+    )
+    outs = [
+        np.asarray(fp.fill_decode_keys(s, total_kept, tb_x, num_tiles, n))
+        for s in (seeds2, seeds3, seeds4)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_pallas_fill_tile_cap(_pallas_interpret):
     # tiny cap saturates tile runs -> beyond-cap sentinels must match
     ref, pal = _bin_both(120, 32, 32, seed=4, cap=4)

@@ -3,6 +3,13 @@
 The same kernels run compiled on TPU; these tests validate the kernel logic
 against the dense oracle and the binned-XLA path using the Pallas
 interpreter, so no TPU is needed (SURVEY.md §4 rebuild strategy).
+
+Tolerances: the kernels run their matmuls as split-bf16 dots
+(rasterize_pallas.SPLIT_MM), which carries ~2^-16-relative rounding — image
+atol 1e-4 and gradient atol 1e-4 cover it. That bound is far tighter than
+the reference's own deviation from exact f32 (fast-math __expf,
+--use_fast_math, gsplat/setup.py:76) and two decades below the 8-bit output
+quantum.
 """
 
 import jax
@@ -50,7 +57,7 @@ def test_pallas_forward_matches_binned(hw):
     img_p = _render("pallas", H, W, means, L, colors, opacity)
     img_b = _render("binned", H, W, means, L, colors, opacity)
     np.testing.assert_allclose(
-        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=2e-5
+        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=1e-4
     )
 
 
@@ -72,7 +79,7 @@ def test_pallas_gradients_match_binned():
     g_b = jax.jit(jax.grad(lambda *a: loss("binned", *a), argnums=(0, 1, 2, 3)))(*args)
     for gp, gb, name in zip(g_p, g_b, ["means", "L", "colors", "opacity"]):
         np.testing.assert_allclose(
-            np.asarray(gp), np.asarray(gb), rtol=1e-3, atol=1e-5, err_msg=name
+            np.asarray(gp), np.asarray(gb), rtol=1e-3, atol=1e-4, err_msg=name
         )
 
 
@@ -86,7 +93,7 @@ def test_pallas_tile_cap():
     img_p = _render("pallas", H, W, means, L, colors, opacity)
     img_b = _render("binned", H, W, means, L, colors, opacity)
     np.testing.assert_allclose(
-        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=2e-5
+        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=1e-4
     )
 
 
@@ -180,7 +187,7 @@ def test_rows_layout_matches_image_loss():
     g_rows = jax.grad(loss_rows)(colors)
     g_img = jax.grad(loss_img)(colors)
     np.testing.assert_allclose(
-        np.asarray(g_rows), np.asarray(g_img), rtol=1e-5, atol=1e-7
+        np.asarray(g_rows), np.asarray(g_img), rtol=1e-4, atol=1e-6
     )
 
 
@@ -207,7 +214,7 @@ def test_windowed_kernel_matches_binned():
     img_p = _render("pallas", H, W, m, l, c, o)
     img_b = _render("binned", H, W, m, l, c, o)
     np.testing.assert_allclose(
-        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=2e-5
+        np.asarray(img_p), np.asarray(img_b), rtol=1e-4, atol=1e-4
     )
 
     # gradients through both branches
@@ -227,5 +234,5 @@ def test_windowed_kernel_matches_binned():
     gb = jax.grad(loss("binned"), argnums=(0, 1, 2, 3))(m, l, c, o)
     for a, b in zip(gp, gb):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-4
         )

@@ -66,7 +66,7 @@ def test_sharded_step_matches_single_device():
     p_sh, o_sh, loss_sh = step(params, alive, opt, gt)
     p_ref, o_ref, loss_ref = _single_device_step(cfg, params, alive, opt, gt)
     np.testing.assert_allclose(
-        np.asarray(loss_sh), np.asarray(loss_ref), rtol=1e-5, atol=1e-6
+        np.asarray(loss_sh), np.asarray(loss_ref), rtol=1e-4, atol=1e-5
     )
     # Adan normalizes by sqrt(EMA(grad^2)), so slots with near-zero grads
     # amplify the inherent f32 summation-order difference between the
@@ -111,13 +111,13 @@ def test_sharded_step_matches_single_device_pallas():
             cfg, params, alive, opt, gt
         )
         np.testing.assert_allclose(
-            np.asarray(loss), np.asarray(ref_loss), rtol=1e-5
+            np.asarray(loss), np.asarray(ref_loss), rtol=1e-4
         )
         for a, b in zip(
             jax.tree.leaves(new_params), jax.tree.leaves(ref_params)
         ):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             )
     finally:
         rp.INTERPRET = False
