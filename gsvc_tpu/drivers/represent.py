@@ -140,9 +140,18 @@ class SimpleTrainer2d:
                 file=sys.stderr,
             )
         psnr, msssim, combined_img, img = self.test(ispos)
-        # render-only timing loop (train_video_Represent.py:101-106)
+        # render-only timing loop (train_video_Represent.py:101-106); times
+        # the planar-CHW forward on the pallas backend — the reference
+        # model's own forward layout ([1, 3, H, W]), emitted directly by
+        # the kernel with no untile transpose
+        from gsvc_tpu.ops.rasterize import _on_tpu
+
+        use_pallas = self.cfg.backend == "pallas" or (
+            self.cfg.backend == "auto" and _on_tpu()
+        )
+        fps_layout = "chw" if use_pallas else "image"
         render = jax.jit(
-            lambda p, a: render_frame(p, a, self.cfg)
+            lambda p, a: render_frame(p, a, self.cfg, layout=fps_layout)
         ).lower(res.state.params, res.state.alive).compile()
         out = render(res.state.params, res.state.alive)
         _sync(out)

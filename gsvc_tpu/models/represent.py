@@ -138,12 +138,16 @@ def _from_trainable(d: dict) -> SplatParams:
 
 def render_frame(
     params: SplatParams, alive: jax.Array, cfg: FrameConfig,
-    rgb_w_trainable: bool = True,
+    rgb_w_trainable: bool = True, layout: str = "image",
 ) -> jax.Array:
-    """model.forward(): render + clamp to [0,1], [H, W, 3].
+    """model.forward(): render + clamp to [0,1].
 
     Mirrors GaussianSplats_Represent.py:83-90 (opacity fixed to ones,
     colors premultiplied by rgb_W, clamp outside the rasterizer).
+    layout="image" returns [H, W, 3]; layout="chw" returns the planar
+    [3, H, W] — the reference forward's own output layout ([1, 3, H, W]),
+    and on TPU the kernel emits it directly with no untile transpose
+    (pallas backend only).
     """
     colors = params.get_features if rgb_w_trainable else params.features_dc
     xys, depths, radii, conics, nth = project_gaussians_2d(
@@ -155,6 +159,7 @@ def render_frame(
         xys, depths, radii, conics, nth, colors, opacity,
         cfg.H, cfg.W, cfg.block_h, cfg.block_w,
         backend=cfg.backend, max_intersects=cfg.max_intersects,
+        layout=layout,
     )
     return jnp.clip(img, 0.0, 1.0)
 

@@ -72,6 +72,17 @@ class BinnedSplats(NamedTuple):
     tile_counts: [T] int32 — REAL intersections of each tile (pre-cap).
     num_intersects: [] int32 traced total (after budget clamp).
     overflow: [] int32 — intersections dropped by the budget (0 normally).
+    sorted_keys: [S] uint32 RAW sorted (tile << 16 | gauss) keys (pre-cap:
+      beyond-cap lanes keep their real gaussian id here) — present on the
+      16-bit fast path, None otherwise. Rotating each key by 16 bits gives
+      unique (gauss << 16 | tile) keys whose sort groups lanes by gaussian
+      in exactly the expansion order; the rasterizer backward uses this for
+      a sort+gather+segmented-scan gradient reduction instead of a serial
+      scatter-add segment_sum (ops/rasterize_pallas._reduce_lane_grads).
+    gauss_slot_start: [N+1] int32 — exclusive prefix of kept per-gaussian
+      intersection counts: gaussian g owns slots
+      [gauss_slot_start[g], gauss_slot_start[g+1]) of the gauss-sorted
+      order (zero-width for empty/budget-dropped gaussians).
 
     S = LANE_ALIGN-aligned static capacity (budget + per-row padding slack).
     """
@@ -83,6 +94,8 @@ class BinnedSplats(NamedTuple):
     tile_counts: jax.Array
     num_intersects: jax.Array
     overflow: jax.Array
+    sorted_keys: jax.Array | None
+    gauss_slot_start: jax.Array
 
 
 # Force the Pallas scan kernels in binning on/off; None = auto (TPU, or
@@ -312,6 +325,17 @@ def bin_gaussians(
             sorted_gauss_ids, (0, tail), constant_values=n
         )
 
+    if fast_key_path:
+        sorted_keys = skey
+    else:
+        sorted_keys = None
+    # Exclusive prefix of kept per-gaussian counts: the gauss-sorted slot
+    # spans for the backward's segmented gradient reduction.
+    kept_nth = jnp.where(kept, nth, 0)
+    gauss_slot_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(kept_nth, dtype=jnp.int32)]
+    )
+
     # Aligned superblock starts and exact per-tile starts.
     row_lanes = row_counts + p_need  # LANE_ALIGN multiples
     row_lane_start = jnp.concatenate(
@@ -350,6 +374,8 @@ def bin_gaussians(
         tile_counts=tile_counts,
         num_intersects=total_kept,
         overflow=overflow,
+        sorted_keys=sorted_keys,
+        gauss_slot_start=gauss_slot_start,
     )
 
 

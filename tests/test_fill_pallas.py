@@ -51,10 +51,13 @@ def _bin_both(n, H, W, seed, max_intersects=None, cap=256):
 def test_pallas_fill_matches_xla(_pallas_interpret, n, hw, seed):
     ref, pal = _bin_both(n, hw[0], hw[1], seed)
     for name in ref._fields:
+        a, b = getattr(ref, name), getattr(pal, name)
+        if a is None or b is None:
+            # sorted_keys exists only on the fast (pallas) key path
+            assert name == "sorted_keys", name
+            continue
         np.testing.assert_array_equal(
-            np.asarray(getattr(ref, name)),
-            np.asarray(getattr(pal, name)),
-            err_msg=name,
+            np.asarray(a), np.asarray(b), err_msg=name
         )
 
 
@@ -63,10 +66,13 @@ def test_pallas_fill_budget_overflow(_pallas_interpret):
     ref, pal = _bin_both(100, 48, 64, seed=3, max_intersects=64)
     assert int(ref.overflow) > 0
     for name in ref._fields:
+        a, b = getattr(ref, name), getattr(pal, name)
+        if a is None or b is None:
+            # sorted_keys exists only on the fast (pallas) key path
+            assert name == "sorted_keys", name
+            continue
         np.testing.assert_array_equal(
-            np.asarray(getattr(ref, name)),
-            np.asarray(getattr(pal, name)),
-            err_msg=name,
+            np.asarray(a), np.asarray(b), err_msg=name
         )
 
 
@@ -131,8 +137,11 @@ def test_pallas_fill_tile_cap(_pallas_interpret):
     n = 120
     assert (np.asarray(ref.sorted_gauss_ids) == n).any()
     for name in ref._fields:
+        a, b = getattr(ref, name), getattr(pal, name)
+        if a is None or b is None:
+            # sorted_keys exists only on the fast (pallas) key path
+            assert name == "sorted_keys", name
+            continue
         np.testing.assert_array_equal(
-            np.asarray(getattr(ref, name)),
-            np.asarray(getattr(pal, name)),
-            err_msg=name,
+            np.asarray(a), np.asarray(b), err_msg=name
         )

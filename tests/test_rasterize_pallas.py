@@ -191,6 +191,58 @@ def test_rows_layout_matches_image_loss():
     )
 
 
+@pytest.mark.parametrize("hw", [(32, 48), (37, 51), (37, 1000)])
+def test_chw_layout_matches_image(hw):
+    """The direct planar-CHW kernel (c-major accumulator + in-VMEM relayout
+    epilogue) must match the HWC path exactly — including non-multiple-of-16
+    dims, the cs != tb_x channel-stride padding, and the windowed path
+    (W=1000 -> tb_x=63 > WINDOW_TILES)."""
+    H, W = hw
+    m, l, c, o = _scene(150, seed=11)
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+
+    def f(layout):
+        def g(m, l, c, o):
+            xys, d, radii, conics, nth = project_gaussians_2d(m, l, H, W, tb)
+            return rasterize_gaussians_sum(
+                xys, d, radii, conics, nth, c, o, H, W,
+                backend="pallas", layout=layout,
+            )
+        return jax.jit(g)(m, l, c, o)
+
+    img_chw = np.asarray(f("chw"))
+    img_hwc = np.asarray(f("image"))
+    assert img_chw.shape == (3, H, W)
+    np.testing.assert_array_equal(img_chw.transpose(1, 2, 0), img_hwc)
+
+
+def test_chw_layout_gradients_match_image():
+    """Autodiff through the chw path (XLA vrows backward) == image path."""
+    H, W = 37, 51
+    m, l, c, o = _scene(120, seed=12)
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    wgt = np.random.default_rng(3).uniform(0.5, 1.5, (3, H, W)).astype(np.float32)
+
+    def loss(layout):
+        def g(m, l, c, o):
+            xys, d, radii, conics, nth = project_gaussians_2d(m, l, H, W, tb)
+            img = rasterize_gaussians_sum(
+                xys, d, radii, conics, nth, c, o, H, W,
+                backend="pallas", layout=layout,
+            )
+            if layout == "image":
+                img = jnp.transpose(img, (2, 0, 1))
+            return jnp.mean((img - 0.3) ** 2 * wgt)
+        return jax.jit(jax.grad(g, argnums=(0, 1, 2, 3)))(m, l, c, o)
+
+    g_chw = loss("chw")
+    g_img = loss("image")
+    for name, a, b in zip("m l c o".split(), g_chw, g_img):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=name
+        )
+
+
 def test_windowed_kernel_matches_binned():
     """Wide image (tb_x > WINDOW_TILES) exercises the dynamic-window fast
     path AND the sparse full-width fallback in the same scene: a dense
