@@ -83,6 +83,10 @@ class BinnedSplats(NamedTuple):
       intersection counts: gaussian g owns slots
       [gauss_slot_start[g], gauss_slot_start[g+1]) of the gauss-sorted
       order (zero-width for empty/budget-dropped gaussians).
+    bbox_pack: [N] int32 (bbox_w << 16 | tmin_y << 8 | tmin_x) — each
+      gaussian's tile bbox, packed; lets a lane recover its expansion slot
+      elementwise: j = (ty - tmin_y) * bbox_w + (tx - tmin_x),
+      slot = gauss_slot_start[g] + j.
 
     S = LANE_ALIGN-aligned static capacity (budget + per-row padding slack).
     """
@@ -96,6 +100,7 @@ class BinnedSplats(NamedTuple):
     overflow: jax.Array
     sorted_keys: jax.Array | None
     gauss_slot_start: jax.Array
+    bbox_pack: jax.Array
 
 
 # Force the Pallas scan kernels in binning on/off; None = auto (TPU, or
@@ -335,6 +340,7 @@ def bin_gaussians(
     gauss_slot_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(kept_nth, dtype=jnp.int32)]
     )
+    bbox_pack = (bbox_w << 16) | (tmin_y << 8) | tmin_x
 
     # Aligned superblock starts and exact per-tile starts.
     row_lanes = row_counts + p_need  # LANE_ALIGN multiples
@@ -376,6 +382,7 @@ def bin_gaussians(
         overflow=overflow,
         sorted_keys=sorted_keys,
         gauss_slot_start=gauss_slot_start,
+        bbox_pack=bbox_pack,
     )
 
 

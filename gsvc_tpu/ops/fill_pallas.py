@@ -167,6 +167,80 @@ def fill_decode_keys(
     return keys.reshape(nb * BLK)[:i_total]
 
 
+def _segsum_kernel(
+    vals_ref,  # [1, R, BLK] f32 values in segment-contiguous (slot) order
+    flags_ref,  # [1, 1, BLK] int32: 1 at each segment's FIRST slot
+    out_ref,  # [1, R, BLK] f32 inclusive segmented cumsum
+    carry,  # [16, 128] f32 scratch: running sum per row (col 0)
+    *,
+    blk: int,
+    rows: int,
+):
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        carry[...] = jnp.zeros_like(carry)
+
+    s = vals_ref[0]  # [rows, blk]
+    # int32 flags throughout: Mosaic's roll has no non-32-bit lowering
+    fb = jnp.where(flags_ref[0] != 0, jnp.int32(1), jnp.int32(0))  # [1, blk]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    k = 1
+    while k < blk:
+        s_sh = pltpu.roll(s, shift=k, axis=1)
+        f_sh = pltpu.roll(fb, shift=k, axis=1)
+        in_range = lanes >= k
+        # s_i += (no segment start in (i-k, i]) ? s_{i-k} : 0
+        s = s + jnp.where((fb != 0) | jnp.logical_not(in_range), 0.0, s_sh)
+        fb = jnp.maximum(fb, jnp.where(in_range, f_sh, 0))
+        k *= 2
+    # cross-block: lanes whose segment began before this block get the carry
+    s = s + jnp.where(fb != 0, 0.0, carry[0:rows, 0:1])
+    carry[0:rows, 0:1] = s[:, blk - 1 : blk]
+    out_ref[0] = s
+
+
+def segmented_cumsum(vals: jax.Array, flags: jax.Array) -> jax.Array:
+    """Inclusive segmented cumsum along the last axis of [R, S] values.
+
+    flags [S] int32 marks each segment's first element. One sequential
+    Pallas pass (log-shift scan per block + carried running sum), replacing
+    jnp.cumsum's log2(S) full HBM passes AND enabling the rasterizer
+    backward's gradient reduction to avoid jax.ops.segment_sum, whose TPU
+    lowering is a serial scatter-add (~7 cycles/update: 1.4 ms at S=178k —
+    nearly half the train step).
+    """
+    rows, s_total = vals.shape
+    assert rows <= 16, rows
+    pad = (-s_total) % BLK
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        flags = jnp.pad(flags, (0, pad), constant_values=1)
+    nb = vals.shape[1] // BLK
+    vals3 = vals.reshape(rows, nb, BLK).transpose(1, 0, 2)
+    flags3 = flags.reshape(nb, 1, BLK)
+
+    kernel = functools.partial(_segsum_kernel, blk=BLK, rows=rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, rows, BLK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, BLK), lambda b: (b, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, rows, BLK), jnp.float32),
+        interpret=INTERPRET,
+    )(vals3, flags3)
+    return out.transpose(1, 0, 2).reshape(rows, nb * BLK)[:, :s_total]
+
+
 def _rank_kernel(
     keys_ref,  # [1, 1, BLK] sorted uint32 keys
     tile_ref,  # [1, 1, BLK] int32 tile ids out

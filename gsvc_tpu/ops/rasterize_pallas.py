@@ -108,27 +108,50 @@ def _pack_lanes(
 ) -> jax.Array:
     """Gather per-lane splat params + tile origins/ids, [16, S] param-major.
 
-    Rows: 0:x 1:y 2:c1 3:c2 4:c3 5:opac 6:r 7:g 8:b 9:ox 10:oy 11:tile.
-    Sentinel gaussian ids (== N) gather a zero row whose opac=0 keeps the
-    lane below the alpha cutoff regardless of its tile slot.
+    Rows: 0:x 1:y 2:c1 3:c2 4:c3 5:opac 6:r 7:g 8:b 9:ox 10:oy 11:tile
+    12:bbox_pack 13:gauss_slot_start (rows 12-13 are exact small ints in
+    f32; the backward's gradient reduction uses them to recover each lane's
+    expansion slot elementwise — see _reduce_lane_grads).
+
+    Beyond-cap and padding lanes must contribute nothing: on the fast key
+    path the gather uses the RAW gaussian id (so rows 12-13 stay valid for
+    capped lanes) and zeroes the lane's OPACITY instead — alpha then falls
+    below the cutoff, which gates both passes exactly like the sentinel
+    zero-row did. Without raw keys (slow path), sentinel ids (== N) gather
+    a zero row as before.
     """
     ids, tiles = binned.sorted_gauss_ids, binned.sorted_tile_ids
+    n = xys.shape[0]
     cat = jnp.concatenate(
-        [xys, conics, opacity.reshape(-1, 1), colors[:, :3]], axis=1
-    )  # [N, 9]
-    cat = jnp.concatenate([cat, jnp.zeros((1, 9), cat.dtype)])
-    rows = cat[ids]  # [S, 9] one gather
+        [
+            xys, conics, opacity.reshape(-1, 1), colors[:, :3],
+            binned.bbox_pack.reshape(-1, 1).astype(jnp.float32),
+            binned.gauss_slot_start[:-1].reshape(-1, 1).astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [N, 11]
+    cat = jnp.concatenate([cat, jnp.zeros((1, cat.shape[1]), cat.dtype)])
+    if binned.sorted_keys is not None:
+        raw = (binned.sorted_keys & 0xFFFF).astype(jnp.int32)
+        gidx = jnp.minimum(raw, n)  # 0xFFFF sentinels -> zero row
+        rows = cat[gidx]  # [S, 11] one gather
+        # cap mask: rank_cap_decode turned beyond-cap ids into sentinels
+        capped = ids != gidx
+        rows = rows.at[:, 5].set(jnp.where(capped, 0.0, rows[:, 5]))
+    else:
+        rows = cat[ids]  # [S, 11]
     tx = (tiles % tb_x).astype(jnp.float32) * block_w
     ty = (tiles // tb_x).astype(jnp.float32) * block_h
     rows = jnp.concatenate(
         [
-            rows,
+            rows[:, :9],
             tx[:, None],
             ty[:, None],
             tiles.astype(jnp.float32)[:, None],
+            rows[:, 9:11],
         ],
         axis=1,
-    )  # [S, 12]
+    )  # [S, 14]
     rows = jnp.pad(rows, ((0, 0), (0, DATA_ROWS - rows.shape[1])))
     return rows.T  # [16, S]
 
@@ -844,30 +867,95 @@ def _rasterize_bwd(
     )(row0.reshape(1), binned.row_lane_start, data, vrows)
 
     v_xys, v_conics, v_colors, v_opacity = _reduce_lane_grads(
-        vdata, binned, n, row0, num_rows
+        vdata, binned, n, row0, num_rows, data, tb_x
     )
     zero_binned = jax.tree.map(_zero_cotangent, binned)
     return (zero_binned, v_xys, v_conics, v_colors, v_opacity,
             _zero_cotangent(row0))
 
 
-def _reduce_lane_grads(vdata, binned, n, row0, num_rows):
+def _reduce_lane_grads(vdata, binned, n, row0, num_rows, data=None, tb_x=None):
     """Per-lane [16, S] grads -> per-splat grads (xys, conics, colors, opac).
 
-    Sentinel id n (padding, beyond-cap, budget-dropped tail lanes) lands in
-    segment n and is sliced off. vdata is an uninitialized HBM output and
-    the kernel only writes lanes of rows [row0, row0 + num_rows), so when
-    this shard renders a partial tile-row span (parallel/sharded.py) the
-    other rows' lanes hold garbage under REAL gaussian ids — redirect every
-    lane outside the shard's span to the sentinel segment before reducing.
+    vdata is an uninitialized HBM output and the kernel only writes lanes
+    of rows [row0, row0 + num_rows), so when this shard renders a partial
+    tile-row span (parallel/sharded.py) every lane outside the span is
+    masked out before reducing.
+
+    Fast path (raw sorted keys available): jax.ops.segment_sum lowers to a
+    serial scatter-add on TPU (~7 cycles/update — 1.4 ms at S=178k, nearly
+    half the train step), so the reduction instead
+    1. recovers each lane's EXPANSION SLOT elementwise (per-gaussian slot
+       spans are contiguous: slot = gauss_slot_start[g] + row-major rank of
+       the lane's tile inside g's bbox, from data rows 12-13);
+    2. inverts the lane->slot permutation with TWO single-u32 sorts of
+       (slot << 14 | lane_lo14) and (slot << 14 | lane_hi) — real slots are
+       unique and dense in [0, total_kept), so sorted position == slot and
+       the halves recombine to lane-of-slot (a (key, value) pair sort
+       would do this in one pass, but lax.sort with a payload operand
+       compiles pathologically on the current toolchain);
+    3. gathers vdata into slot order and runs one sequential-Pallas
+       segmented cumsum (fill_pallas.segmented_cumsum); each gaussian's
+       total sits at its span's last slot.
+    Beyond-cap and pad lanes carry zero grads (opacity-masked in
+    _pack_lanes) and slot 2^18-1, past every real slot. Deterministic: all
+    sort keys of real lanes are unique, and the scan order is fixed.
     """
     ids = binned.sorted_gauss_ids
-    lane = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    s_cap = ids.shape[0]
+    lane = jnp.arange(s_cap, dtype=jnp.int32)
     lo = binned.row_lane_start[row0]
     hi = binned.row_lane_start[row0 + num_rows]
-    ids = jnp.where((lane >= lo) & (lane < hi), ids, n)
-    seg = jax.ops.segment_sum(vdata.T, ids, num_segments=n + 1)[:n]
-    return seg[:, 0:2], seg[:, 2:5], seg[:, 6:9], seg[:, 5:6]
+    span = (lane >= lo) & (lane < hi)
+
+    fast = (
+        binned.sorted_keys is not None
+        and data is not None
+        and tb_x is not None
+        and s_cap < (1 << 18) - 1
+    )
+    if not fast:
+        ids = jnp.where(span, ids, n)
+        seg = jax.ops.segment_sum(vdata.T, ids, num_segments=n + 1)[:n]
+        return seg[:, 0:2], seg[:, 2:5], seg[:, 6:9], seg[:, 5:6]
+
+    key = binned.sorted_keys  # [S] u32 (tile << 16 | gauss), pre-cap
+    g = (key & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    tile = (key >> 16).astype(jnp.int32)
+    real = g < n
+    bbox = data[12, :].astype(jnp.int32)  # (bw << 16 | ty0 << 8 | tx0)
+    gss = data[13, :].astype(jnp.int32)
+    bw = bbox >> 16
+    ty0 = (bbox >> 8) & 0xFF
+    tx0 = bbox & 0xFF
+    ty = tile // tb_x
+    tx = tile - ty * tb_x
+    j = (ty - ty0) * bw + (tx - tx0)
+    slot = jnp.where(real, gss + j, (1 << 18) - 1).astype(jnp.uint32)
+
+    lane_u = lane.astype(jnp.uint32)
+    c1 = (slot << 14) | (lane_u & jnp.uint32(0x3FFF))
+    c2 = (slot << 14) | (lane_u >> 14)
+    s1 = jax.lax.sort(c1, is_stable=False)
+    s2 = jax.lax.sort(c2, is_stable=False)
+    lane_of = (
+        ((s2 & jnp.uint32(0x3FFF)) << 14) | (s1 & jnp.uint32(0x3FFF))
+    ).astype(jnp.int32)
+
+    vmask = jnp.where(span, 1.0, 0.0)
+    vg = (vdata * vmask[None, :])[:, lane_of]  # [16, S] slot order
+
+    from gsvc_tpu.ops.fill_pallas import segmented_cumsum
+
+    gss_all = binned.gauss_slot_start  # [N+1]
+    flags = (
+        jnp.zeros(s_cap, jnp.int32).at[gss_all[:-1]].max(1, mode="drop")
+    )
+    seg = segmented_cumsum(vg, flags)  # [16, S] inclusive within segments
+    ends = jnp.maximum(gss_all[1:] - 1, 0)  # [N]
+    width = (gss_all[1:] - gss_all[:-1]) > 0
+    tot = jnp.where(width[None, :], seg[:, ends], 0.0).T  # [N, 16]
+    return tot[:, 0:2], tot[:, 2:5], tot[:, 6:9], tot[:, 5:6]
 
 
 _rasterize_pallas_vjp.defvjp(_rasterize_fwd, _rasterize_bwd)

@@ -243,6 +243,72 @@ def test_chw_layout_gradients_match_image():
         )
 
 
+def test_fast_grad_reduction_matches_segment_sum():
+    """The sort+segmented-scan gradient reduction (active when binning
+    provides raw sorted keys) must equal the segment_sum path exactly-ish.
+
+    Exercises the full fast path: raw-id pack with opacity cap-masking,
+    elementwise slot recovery, the two-u32-sort permutation inverse, and
+    the Pallas segmented cumsum — with a tiny cap so beyond-cap lanes are
+    present.
+    """
+    import gsvc_tpu.ops.binning as binning
+    import gsvc_tpu.ops.fill_pallas as fp
+
+    H, W = 48, 64
+    m, l, c, o = _scene(200, seed=13)
+    tb = ((W + 15) // 16, (H + 15) // 16, 1)
+    wgt = np.random.default_rng(5).uniform(0.5, 1.5, (H, W, 3)).astype(np.float32)
+
+    def grads(pallas_fill):
+        binning.PALLAS_FILL = pallas_fill
+        fp.INTERPRET = True
+        try:
+            def g(m, l, c, o):
+                xys, d, radii, conics, nth = project_gaussians_2d(
+                    m, l, H, W, tb
+                )
+                img = rasterize_gaussians_sum(
+                    xys, d, radii, conics, nth, c, o, H, W,
+                    backend="pallas",
+                )
+                return jnp.mean((img - 0.3) ** 2 * wgt)
+            return jax.jit(jax.grad(g, argnums=(0, 1, 2, 3)))(m, l, c, o)
+        finally:
+            binning.PALLAS_FILL = None
+            fp.INTERPRET = False
+
+    g_fast = grads(True)   # sorted_keys present -> fast reduction
+    g_slow = grads(False)  # XLA binning path -> segment_sum reduction
+    for name, a, b in zip("m l c o".split(), g_fast, g_slow):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6, err_msg=name
+        )
+
+
+def test_segmented_cumsum_kernel():
+    """fill_pallas.segmented_cumsum vs a numpy segmented scan."""
+    import gsvc_tpu.ops.fill_pallas as fp
+
+    fp.INTERPRET = True
+    try:
+        rng = np.random.default_rng(9)
+        S, R = 1000, 16
+        vals = rng.normal(size=(R, S)).astype(np.float32)
+        flags = (rng.uniform(size=S) < 0.05).astype(np.int32)
+        flags[0] = 1
+        got = np.asarray(
+            fp.segmented_cumsum(jnp.asarray(vals), jnp.asarray(flags))
+        )
+        ref = vals.copy()
+        for i in range(1, S):
+            if not flags[i]:
+                ref[:, i] += ref[:, i - 1]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    finally:
+        fp.INTERPRET = False
+
+
 def test_windowed_kernel_matches_binned():
     """Wide image (tb_x > WINDOW_TILES) exercises the dynamic-window fast
     path AND the sparse full-width fallback in the same scene: a dense
