@@ -96,6 +96,7 @@ class SimpleTrainer2d:
         removal_rate: float = 0.25,
         seed: int = 1,
         backend: str = "auto",
+        tile_shards: int = 0,
     ):
         self.gt = jnp.asarray(image.astype(np.float32) / 255.0)  # [H, W, 3]
         self.H, self.W = image.shape[0], image.shape[1]
@@ -116,6 +117,18 @@ class SimpleTrainer2d:
             isremoval=isremoval,
             backend=backend,
         )
+        # multi-chip: shard the image's tile rows over a 1D device mesh
+        # (parallel/sharded.py); 0/1 = single-device fit
+        self.mesh = None
+        if tile_shards and tile_shards > 1:
+            from gsvc_tpu.parallel.sharded import tile_mesh
+
+            if tile_shards > jax.device_count():
+                raise ValueError(
+                    f"--tile_shards {tile_shards} > available devices "
+                    f"{jax.device_count()}"
+                )
+            self.mesh = tile_mesh(tile_shards)
         key = jax.random.key(seed * 100003 + frame_num)
         if Trained_Model is not None:
             warm = _warm_params(Trained_Model, max_num_points)
@@ -126,7 +139,12 @@ class SimpleTrainer2d:
 
     def train(self, ispos: bool = False):
         t0 = time.time()
-        res = fit_frame(self.state, self.gt, self.cfg)
+        if self.mesh is not None:
+            from gsvc_tpu.parallel.sharded import fit_frame_sharded
+
+            res = fit_frame_sharded(self.state, self.gt, self.cfg, self.mesh)
+        else:
+            res = fit_frame(self.state, self.gt, self.cfg)
         _sync(res.state.params.xyz)  # transfer sync: relay block_until_ready is unreliable
         train_time = time.time() - t0
         self.state = res.state
@@ -295,6 +313,10 @@ def parse_args(argv):
     p.add_argument("--is_ad", action="store_true")
     p.add_argument("--is_rm", action="store_true")
     p.add_argument("--backend", type=str, default="auto")
+    # Multi-chip: shard each frame's tile rows over N devices (psum'd splat
+    # grads; full splat-control/early-stop semantics — parallel/sharded.py).
+    # New capability vs the single-GPU reference (train_video_Represent.py:36).
+    p.add_argument("--tile_shards", type=int, default=0)
     # K-frame detection pre-train size (reference hardcodes 5000 splats /
     # 500+100 iterations, train_video_Represent.py:322-330; exposed as
     # flags so small runs/tests can shrink the pass)
@@ -341,7 +363,7 @@ def main(argv):
                 iterations=args.iterations, args=args, Trained_Model=None,
                 isdensity=False, isremoval=args.is_rm,
                 removal_rate=args.removal_rate, seed=args.seed,
-                backend=args.backend,
+                backend=args.backend, tile_shards=args.tile_shards,
             )
         else:
             trainer = SimpleTrainer2d(
@@ -351,7 +373,7 @@ def main(argv):
                 iterations=args.iterations, args=args, Trained_Model=gmodel,
                 isdensity=args.is_ad, isremoval=False,
                 removal_rate=args.removal_rate, seed=args.seed,
-                backend=args.backend,
+                backend=args.backend, tile_shards=args.tile_shards,
             )
         (
             psnr, msssim, train_time, eval_time, eval_fps,

@@ -52,6 +52,24 @@ from gsvc_tpu.optim.schedule import step_lr
 from gsvc_tpu.utils.losses import loss_fn
 
 
+class TileShard(NamedTuple):
+    """Image-space sharding context for the training step.
+
+    When a train step runs inside `shard_map` with the image's tile rows
+    sharded over a mesh axis (parallel/sharded.py), `axis_name` names that
+    axis and `num_shards` its size. Each device renders its local tile-row
+    span; loss terms and per-splat parameter gradients are `psum`'d over
+    the axis (the collective equivalent of the reference backward's
+    atomicAdd into shared per-gaussian slots, backward.cu:843-858). All
+    other state (splat control, early stopping, optimizer) is replicated
+    and — because every psum'd quantity is identical on every device —
+    stays bitwise-consistent across the mesh.
+    """
+
+    axis_name: str
+    num_shards: int
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -139,6 +157,7 @@ def _from_trainable(d: dict) -> SplatParams:
 def render_frame(
     params: SplatParams, alive: jax.Array, cfg: FrameConfig,
     rgb_w_trainable: bool = True, layout: str = "image",
+    tile_rows=None,
 ) -> jax.Array:
     """model.forward(): render + clamp to [0,1].
 
@@ -147,7 +166,8 @@ def render_frame(
     layout="image" returns [H, W, 3]; layout="chw" returns the planar
     [3, H, W] — the reference forward's own output layout ([1, 3, H, W]),
     and on TPU the kernel emits it directly with no untile transpose
-    (pallas backend only).
+    (pallas backend only). tile_rows=(row0, num_rows) renders only that
+    global tile-row span (image sharding, parallel/sharded.py).
     """
     colors = params.get_features if rgb_w_trainable else params.features_dc
     xys, depths, radii, conics, nth = project_gaussians_2d(
@@ -159,7 +179,7 @@ def render_frame(
         xys, depths, radii, conics, nth, colors, opacity,
         cfg.H, cfg.W, cfg.block_h, cfg.block_w,
         backend=cfg.backend, max_intersects=cfg.max_intersects,
-        layout=layout,
+        layout=layout, tile_rows=tile_rows,
     )
     return jnp.clip(img, 0.0, 1.0)
 
@@ -208,19 +228,22 @@ def _use_rows_loss(cfg: FrameConfig) -> bool:
 
 
 def make_rows_target(gt: jax.Array, cfg: FrameConfig):
-    """Pre-tile the [H, W, 3] target (and the valid-pixel mask) into the
-    layout='rows' block layout, once per frame fit."""
+    """Pre-tile the [h, W, 3] target (and the valid-pixel mask) into the
+    layout='rows' block layout, once per frame fit. `gt` may be a tile-row
+    SHARD of the frame (h = a whole number of tile rows) — the tiling is
+    per-row, so shard tiling equals the matching slice of the full tiling."""
     from gsvc_tpu.ops.rasterize import image_to_rows
 
-    gt_rows = image_to_rows(gt, cfg.H, cfg.W, cfg.block_h, cfg.block_w)
+    h = gt.shape[0]
+    gt_rows = image_to_rows(gt, h, cfg.W, cfg.block_h, cfg.block_w)
     mask = image_to_rows(
-        jnp.ones_like(gt), cfg.H, cfg.W, cfg.block_h, cfg.block_w
+        jnp.ones_like(gt), h, cfg.W, cfg.block_h, cfg.block_w
     )
     return gt_rows, mask
 
 
 def render_frame_rows(
-    params: SplatParams, alive: jax.Array, cfg: FrameConfig
+    params: SplatParams, alive: jax.Array, cfg: FrameConfig, tile_rows=None
 ) -> jax.Array:
     """model.forward() in tile-row block layout (clamp commutes with the
     tiling permutation, so tile-space clip is exact)."""
@@ -234,24 +257,69 @@ def render_frame_rows(
         xys, depths, radii, conics, nth, colors, opacity,
         cfg.H, cfg.W, cfg.block_h, cfg.block_w,
         backend=cfg.backend, max_intersects=cfg.max_intersects,
-        layout="rows",
+        layout="rows", tile_rows=tile_rows,
     )
     return jnp.clip(rows, 0.0, 1.0)
 
 
+def _shard_tile_rows(cfg: FrameConfig, shard: TileShard):
+    """(row0, rows_per_shard) of this device's tile-row span."""
+    tb_y = cfg.tile_bounds[1]
+    if tb_y % shard.num_shards != 0 or cfg.H % cfg.block_h != 0:
+        raise ValueError(
+            f"H={cfg.H} must split into whole tile rows per shard "
+            f"(tile rows {tb_y}, shards {shard.num_shards})"
+        )
+    rows_per = tb_y // shard.num_shards
+    row0 = jax.lax.axis_index(shard.axis_name) * rows_per
+    return row0, rows_per
+
+
 def _loss_and_psnr(
-    params, alive, gt, cfg: FrameConfig, lambda_value, rows_target=None
+    params, alive, gt, cfg: FrameConfig, lambda_value, rows_target=None,
+    shard: TileShard | None = None,
 ):
+    """Loss + PSNR (+ the rendered output, for tracing).
+
+    With `shard`, `gt` (and `rows_target`) are this device's tile-row
+    shard; the returned loss/psnr are GLOBAL (psum over the shard axis),
+    identical on every device. Sharded mode supports the pointwise losses
+    (L2/L1) — structural (SSIM-family) losses need cross-shard windows.
+    """
+    if shard is not None and cfg.loss_type not in ("L2", "L1"):
+        raise ValueError(
+            f"tile-sharded training supports pointwise losses, got "
+            f"{cfg.loss_type!r}"
+        )
+    tile_rows = None
+    if shard is not None:
+        tile_rows = _shard_tile_rows(cfg, shard)
     if rows_target is not None:
-        rows = render_frame_rows(params, alive, cfg)
+        rows = render_frame_rows(params, alive, cfg, tile_rows=tile_rows)
         gt_rows, mask = rows_target
         diff = (rows - gt_rows) * mask  # mask zeroes tile-padding pixels
         denom = cfg.H * cfg.W * 3
-        mse = jnp.sum(diff * diff) / denom
-        loss = mse if cfg.loss_type == "L2" else jnp.sum(jnp.abs(diff)) / denom
+        sq = jnp.sum(diff * diff)
+        l1 = jnp.sum(jnp.abs(diff))
+        if shard is not None:
+            sq = jax.lax.psum(sq, shard.axis_name)
+            l1 = jax.lax.psum(l1, shard.axis_name)
+        mse = sq / denom
+        loss = mse if cfg.loss_type == "L2" else l1 / denom
         psnr = 10.0 * jnp.log10(1.0 / mse)
         return loss, (psnr, rows)
-    img = render_frame(params, alive, cfg)
+    img = render_frame(params, alive, cfg, tile_rows=tile_rows)
+    if shard is not None:
+        denom = cfg.H * cfg.W * 3
+        diff = img - gt
+        sq = jax.lax.psum(jnp.sum(diff * diff), shard.axis_name)
+        mse = sq / denom
+        if cfg.loss_type == "L2":
+            loss = mse
+        else:
+            loss = jax.lax.psum(jnp.sum(jnp.abs(diff)), shard.axis_name) / denom
+        psnr = 10.0 * jnp.log10(1.0 / mse)
+        return loss, (psnr, img)
     loss = loss_fn(
         img.transpose(2, 0, 1), gt.transpose(2, 0, 1),
         cfg.loss_type, lambda_value=lambda_value,
@@ -378,13 +446,23 @@ def _adaptive_control(params, alive, key, it, cfg: FrameConfig):
     return params, alive_new, rebuilt, it == thresh
 
 
-def make_train_step(cfg: FrameConfig, lambda_value: float = 0.0):
+def make_train_step(
+    cfg: FrameConfig, lambda_value: float = 0.0,
+    shard: TileShard | None = None,
+):
     """One reference train_iter (GaussianSplats_Represent.py:191-207):
     forward/loss/backward, splat control, Adan step, scheduler step.
 
     step() takes an optional pre-tiled rows_target (make_rows_target) to
     run the loss in tile-row space — callers must pre-tile OUTSIDE their
-    iteration loop so the tiling cost is paid once per frame."""
+    iteration loop so the tiling cost is paid once per frame.
+
+    With `shard`, the step is the SAME full step (splat control, early
+    stopping, StepLR, overflow check) running inside shard_map with the
+    image tile-rows sharded over `shard.axis_name`: gt/rows_target are the
+    local shard, per-splat gradients are psum'd over the axis before the
+    Adan update, and every psum'd scalar (loss, psnr) is identical on all
+    devices, so the replicated control flow stays consistent."""
 
     def step(state: TrainState, gt: jax.Array, rows_target=None) -> TrainState:
         it = state.it + 1  # 1-based like the reference loop
@@ -392,10 +470,14 @@ def make_train_step(cfg: FrameConfig, lambda_value: float = 0.0):
         (loss, (psnr, _img)), grads = jax.value_and_grad(
             lambda p: _loss_and_psnr(
                 _from_trainable(p), state.alive, gt, cfg, lambda_value,
-                rows_target,
+                rows_target, shard,
             ),
             has_aux=True,
         )(tr)
+        if shard is not None:
+            # each device's grads cover only its tile-row span; the psum is
+            # the collective analog of backward.cu:843-858's atomicAdd
+            grads = jax.lax.psum(grads, shard.axis_name)
 
         params, alive, key = state.params, state.alive, state.key
         rebuilt = jnp.bool_(False)
@@ -518,6 +600,46 @@ def fit_frame(
     final = jax.lax.while_loop(cond, body, state)
     img = render_frame(final.params, final.alive, cfg)
     return FitResult(state=final, image=img)
+
+
+@partial(jax.jit, static_argnames=("cfg", "lambda_value", "trace_every"))
+def fit_frame_trace(
+    state: TrainState, gt: jax.Array, cfg: FrameConfig,
+    lambda_value: float = 0.0, trace_every: int = 1,
+) -> Tuple[TrainState, jax.Array]:
+    """Training loop that traces the rendered image: the reference
+    `train_iter_trace` (GaussianSplats_Represent.py:175-188), which is
+    `train_iter` returning the iteration's forward render (the image
+    rendered from the PRE-update parameters, loss lambda fixed to 0).
+
+    Runs `cfg.iterations` steps (no early stopping — the reference trace
+    loop is driven externally without EarlyStopping) and scans out the
+    render of every `trace_every`-th iteration (1-based: iterations
+    trace_every, 2*trace_every, ...).
+
+    Returns (final_state, images [iterations // trace_every, H, W, 3]).
+    """
+    step = make_train_step(cfg, lambda_value=0.0)
+    rows_target = make_rows_target(gt, cfg) if _use_rows_loss(cfg) else None
+
+    def body(s: TrainState, _):
+        img = render_frame(s.params, s.alive, cfg)
+        s = step(s, gt, rows_target)
+        return s, img
+
+    def chunk(s: TrainState, _):
+        # one traced image per `trace_every` steps: keep the render of the
+        # chunk's FIRST step (the image at iterations k*trace_every + 1
+        # pre-update == the reference's return at that train_iter call)
+        s, imgs = jax.lax.scan(body, s, None, length=trace_every)
+        return s, imgs[trace_every - 1]
+
+    n_traces = cfg.iterations // trace_every
+    final, images = jax.lax.scan(chunk, state, None, length=n_traces)
+    rem = cfg.iterations - n_traces * trace_every
+    if rem:
+        final, _ = jax.lax.scan(body, final, None, length=rem)
+    return final, images
 
 
 @partial(jax.jit, static_argnames=("cfg", "lambda_value"))

@@ -1,5 +1,7 @@
 from gsvc_tpu.parallel.sharded import (  # noqa: F401
+    fit_frame_sharded,
     make_sharded_train_step,
-    make_tile_sharded_render,
+    replicate_to_mesh,
     shard_frames_mesh,
+    tile_mesh,
 )

@@ -6,23 +6,31 @@ module adds the TPU-native distributed layer (SURVEY.md §7.2 stage 7):
 
 - **tile axis (SP — image-space parallelism)**: the image's tile rows are
   sharded across chips. Every chip holds the full (small) splat set,
-  projects once, bins only its local tile rows against y-shifted centers,
+  projects once, bins only its local tile rows against global coordinates,
   rasterizes its image shard, and computes the local loss term. Per-splat
   parameter gradients are `psum`'d over ICI — the collective equivalent of
-  the reference backward's atomicAdd into shared per-gaussian slots.
+  the reference backward's atomicAdd into shared per-gaussian slots
+  (backward.cu:843-858).
 - **frame axis (DP — GOP parallelism)**: K-frame chains are independent
   (SURVEY.md §5 long-context row), so frames/GOPs shard across chips or
   hosts with no collectives; each device runs its own warm-start chain.
+  (Cross-HOST GOP parallelism lives in parallel/multihost.py.)
 
 Both axes compose in a 2D mesh ("frame", "tile"): grads psum over "tile"
 only; "frame" stays embarrassingly parallel.
+
+The sharded step/fit here IS the driver's trainer — `make_sharded_train_step`
+and `fit_frame_sharded` run `models.represent.make_train_step` (the full
+reference train_iter: splat control, early stopping, StepLR scheduler-detach
+quirk, overflow check) under shard_map, not a simplified demo loss. The
+representation driver reaches it via `--tile_shards N`
+(drivers/represent.py).
 
 Built on jax.sharding.Mesh + shard_map; collectives ride ICI via XLA.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 
@@ -33,10 +41,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gsvc_tpu.config import FrameConfig
 from gsvc_tpu.core import SplatParams
-from gsvc_tpu.models.represent import _from_trainable, _trainable
-from gsvc_tpu.ops.projection import project_gaussians_2d
-from gsvc_tpu.ops.rasterize import rasterize_gaussians_sum
-from gsvc_tpu.optim.adan import adan_init, adan_step
+from gsvc_tpu.models.represent import (
+    FitResult,
+    TileShard,
+    TrainState,
+    _use_rows_loss,
+    make_rows_target,
+    make_train_step,
+    render_frame,
+)
 
 
 def shard_frames_mesh(
@@ -50,101 +63,108 @@ def shard_frames_mesh(
     )
 
 
-def _render_local_shard(
-    params: SplatParams,
-    alive: jax.Array,
-    cfg: FrameConfig,
-    rows_per_shard: int,
-    row_offset: jax.Array,
-) -> jax.Array:
-    """Render tile rows [row_offset, row_offset + rows_per_shard) in GLOBAL
-    coordinates via the rasterizer's tile_rows support.
-
-    Projection + binning run on global coordinates (bit-identical tile
-    membership to the unsharded render); only the per-pixel rasterization
-    work is sharded. The binning sort is currently replicated per chip —
-    acceptable because pixel evaluation dominates, and a sharded-sort
-    upgrade can slot in behind the same interface.
-    """
-    colors = params.get_features
-    xys, depths, radii, conics, nth = project_gaussians_2d(
-        params.get_xyz, params.get_cholesky_elements, cfg.H, cfg.W,
-        cfg.tile_bounds, cfg.block_w, cfg.block_h, alive=alive,
-    )
-    opacity = jnp.ones((params.capacity, 1), jnp.float32)
-    img = rasterize_gaussians_sum(
-        xys, depths, radii, conics, nth, colors, opacity,
-        cfg.H, cfg.W, cfg.block_h, cfg.block_w,
-        backend=cfg.backend, max_intersects=cfg.max_intersects,
-        tile_rows=(row_offset, rows_per_shard),
-    )
-    return jnp.clip(img, 0.0, 1.0)
+def tile_mesh(n_tile: int, devices=None) -> Mesh:
+    """1D tile-parallel mesh (the driver's --tile_shards path)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices[:n_tile], axis_names=("tile",))
 
 
-def make_tile_sharded_render(mesh: Mesh, cfg: FrameConfig):
-    """Forward render with the image sharded over the 'tile' mesh axis.
+def _check_shardable(cfg: FrameConfig, n_tile: int) -> None:
+    tb_y = cfg.tile_bounds[1]
+    if cfg.H % cfg.block_h != 0 or tb_y % n_tile != 0:
+        raise ValueError(
+            f"H={cfg.H} must split into whole tile rows per device "
+            f"({tb_y} tile rows over {n_tile} shards)"
+        )
 
-    Returns a function (params, alive, gt_shard) -> (loss, img_shard)
-    meant to run inside shard_map (gt sharded on rows, params replicated).
+
+def make_sharded_train_step(
+    mesh: Mesh, cfg: FrameConfig, lambda_value: float = 0.0
+):
+    """The REAL per-frame train step over a ("frame", "tile") mesh.
+
+    Runs `models.represent.make_train_step` — full reference train_iter
+    semantics (adaptive/removal splat control, device-side early-stopping
+    bookkeeping, StepLR with the scheduler-detach quirk, binning-overflow
+    check) — under shard_map, with per-splat gradients psum'd over "tile".
+
+    Arguments of the returned step(states, gt):
+      states: TrainState batched on a leading frame axis [F, ...]
+        (frame-sharded over "frame", replicated over "tile").
+      gt: [F, H, W, 3] float32, sharded (frame, tile-rows).
+    Returns the updated batched TrainState (loss/psnr/it live inside it).
     """
     n_tile = mesh.shape["tile"]
-    assert cfg.H % (cfg.block_h * n_tile) == 0, (
-        "H must divide into whole tile rows per device"
-    )
-    rows_per_shard = cfg.H // (cfg.block_h * n_tile)
+    _check_shardable(cfg, n_tile)
+    shard = TileShard("tile", n_tile)
+    step = make_train_step(cfg, lambda_value, shard=shard)
+    use_rows = _use_rows_loss(cfg)
 
-    def local_forward(params, alive, gt_shard):
-        d = jax.lax.axis_index("tile")
-        img = _render_local_shard(
-            params, alive, cfg, rows_per_shard, d * rows_per_shard
-        )
-        local_sq = jnp.sum((img - gt_shard) ** 2)
-        loss = jax.lax.psum(local_sq, "tile") / (cfg.H * cfg.W * 3)
-        return loss, img
+    def per_device(states_b: TrainState, gt_b: jax.Array) -> TrainState:
+        def one_frame(state: TrainState, gt_shard: jax.Array) -> TrainState:
+            rows_target = (
+                make_rows_target(gt_shard, cfg) if use_rows else None
+            )
+            return step(state, gt_shard, rows_target)
 
-    return local_forward
+        return jax.vmap(one_frame)(states_b, gt_b)
 
-
-def make_sharded_train_step(mesh: Mesh, cfg: FrameConfig, lr: float = 1e-3):
-    """Full training step over a ("frame", "tile") mesh.
-
-    Arguments (shardings):
-      params/alive/opt: sharded over "frame" (one splat set per frame row),
-        replicated over "tile".
-      gt: [F, H, W, 3] sharded (frame, tile-rows).
-    Per-splat gradients are psum'd over "tile"; the Adan update then runs
-    replicated within each frame row.
-    """
-    local_forward = make_tile_sharded_render(mesh, cfg)
-
-    def per_device(params_b, alive_b, opt_b, gt_b):
-        # leading axis = local frame shard (size 1 per device row)
-        def one_frame(params, alive, opt, gt_shard):
-            def loss_fn(tr):
-                loss, _ = local_forward(_from_trainable(tr), alive, gt_shard)
-                return loss
-
-            tr = _trainable(params)
-            loss, grads = jax.value_and_grad(loss_fn)(tr)
-            grads = jax.lax.psum(grads, "tile")
-            new_tr, new_opt = adan_step(tr, grads, opt, lr)
-            return _from_trainable(new_tr), new_opt, loss
-
-        return jax.vmap(one_frame)(params_b, alive_b, opt_b, gt_b)
-
-    step = jax.shard_map(
+    sharded = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(
-            P("frame"),  # params: frame-sharded, tile-replicated
-            P("frame"),
-            P("frame"),
-            P("frame", "tile"),  # gt: [F, H, W, 3] rows sharded over tile
-        ),
-        out_specs=(P("frame"), P("frame"), P("frame")),
+        in_specs=(P("frame"), P("frame", "tile")),
+        out_specs=P("frame"),
         check_vma=False,
     )
-    return jax.jit(step)
+    return jax.jit(sharded)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "lambda_value"))
+def fit_frame_sharded(
+    state: TrainState, gt: jax.Array, cfg: FrameConfig, mesh: Mesh,
+    lambda_value: float = 0.0,
+) -> FitResult:
+    """`models.represent.fit_frame` with the image tile-rows sharded over
+    the mesh's "tile" axis: the whole while_loop fit (early stopping, splat
+    control, scheduler) runs inside ONE shard_map — no per-iteration host
+    or cross-device sync beyond the loss/grad psums.
+
+    state is replicated; gt [H, W, 3] is sharded on rows. Returns the same
+    FitResult as the single-device fit (state replicated, image assembled
+    from per-device shards).
+    """
+    n_tile = mesh.shape["tile"]
+    _check_shardable(cfg, n_tile)
+    shard = TileShard("tile", n_tile)
+    step = make_train_step(cfg, lambda_value, shard=shard)
+    use_rows = _use_rows_loss(cfg)
+    rows_per = cfg.tile_bounds[1] // n_tile
+
+    def local_fit(state: TrainState, gt_shard: jax.Array):
+        rows_target = make_rows_target(gt_shard, cfg) if use_rows else None
+
+        def cond(s: TrainState):
+            return (s.it < cfg.iterations) & (~s.stop)
+
+        def body(s: TrainState):
+            return step(s, gt_shard, rows_target)
+
+        final = jax.lax.while_loop(cond, body, state)
+        row0 = jax.lax.axis_index("tile") * rows_per
+        img_shard = render_frame(
+            final.params, final.alive, cfg, tile_rows=(row0, rows_per)
+        )
+        return final, img_shard
+
+    fit = jax.shard_map(
+        local_fit,
+        mesh=mesh,
+        in_specs=(P(), P("tile")),
+        out_specs=(P(), P("tile")),
+        check_vma=False,
+    )
+    final, img = fit(state, gt)
+    return FitResult(state=final, image=img[: cfg.H])
 
 
 def replicate_to_mesh(mesh: Mesh, tree, spec=P()):

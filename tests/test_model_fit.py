@@ -137,3 +137,40 @@ def test_warm_start_from_previous_frame():
         "iterations": 1,
     }))
     assert float(r_warm.state.loss) < 0.5 * float(r_cold.state.loss)
+
+
+def test_fit_frame_trace_matches_fit():
+    """fit_frame_trace (reference train_iter_trace,
+    GaussianSplats_Represent.py:175-188): returns the pre-update render of
+    every Nth iteration; the final state matches an equivalent fit run
+    without early stopping."""
+    from gsvc_tpu.models.represent import fit_frame_trace, make_train_step
+
+    H = W = 48
+    cfg = FrameConfig(
+        H=H, W=W, num_points=64, max_num_points=64, iterations=6,
+        backend="binned",
+    )
+    gt = jnp.asarray(_target_image(H, W, seed=4))
+    state = init_train_state(jax.random.key(3), cfg)
+    final, images = fit_frame_trace(state, gt, cfg, trace_every=2)
+    assert images.shape == (3, H, W, 3)
+    assert int(final.it) == 6
+    # trace image k is the render at iteration 2k+2 PRE-update: re-derive
+    # iteration 2 by stepping the same state twice and rendering before
+    # the second update... i.e. after exactly 1 step.
+    step = jax.jit(make_train_step(cfg))
+    s1 = step(state, gt)
+    img_it2 = render_frame(s1.params, s1.alive, cfg)
+    # (atol covers f32 fusion-order differences between compilations)
+    np.testing.assert_allclose(
+        np.asarray(images[0]), np.asarray(img_it2), rtol=0, atol=1e-5
+    )
+    # tracing must not change the training trajectory
+    s = state
+    for _ in range(6):
+        s = step(s, gt)
+    np.testing.assert_allclose(
+        np.asarray(final.params.xyz), np.asarray(s.params.xyz),
+        rtol=0, atol=1e-4,
+    )
