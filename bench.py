@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--outer", type=int, default=3)
     ap.add_argument("--train-iters", type=int, default=50)
     ap.add_argument("--backend", type=str, default="pallas")
+    ap.add_argument(
+        "--budget-slack", type=float, default=1.25,
+        help="intersection-budget headroom over the measured count "
+             "(0 = use the static default_max_intersects heuristic)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -68,11 +73,32 @@ def main():
     # (rasterize_pallas._forward_kernel_chw), no untile transpose.
     eval_layout = "chw" if args.backend == "pallas" else "image"
 
+    # Size the static intersection budget from the measured count (one
+    # projection pass + host sync, once per scene). This mirrors the
+    # reference, which allocates the intersection buffer to the EXACT
+    # dynamic count every forward (cum_tiles_hit .item() sync,
+    # gsplat/utils.py:117); a measured budget with slack, bucketed to 8192
+    # to stabilize compiled shapes, is the static-shape equivalent.
+    n_isect = int(
+        np.asarray(
+            jax.jit(
+                lambda m, l: jnp.sum(project_gaussians_2d(m, l, H, W, tb)[4])
+            )(means, L)
+        )
+    )
+    if args.budget_slack > 0:
+        budget = int(np.ceil(n_isect * args.budget_slack / 8192)) * 8192
+    else:
+        from gsvc_tpu.ops.binning import default_max_intersects
+
+        budget = default_max_intersects(n, tb[0] * tb[1])
+
     def forward(m, l, c):
         xys, d, radii, conics, nth = project_gaussians_2d(m, l, H, W, tb)
         img = rasterize_gaussians_sum(
             xys, d, radii, conics, nth, c, opacity, H, W,
             backend=args.backend, layout=eval_layout,
+            max_intersects=budget,
         )
         return jnp.clip(img, 0.0, 1.0)
 
@@ -116,6 +142,7 @@ def main():
             rows = rasterize_gaussians_sum(
                 xys, d, radii, conics, nth, p["c"], opacity, H, W,
                 backend=args.backend, layout="rows",
+                max_intersects=budget,
             )
             diff = (jnp.clip(rows, 0.0, 1.0) - target_rows) * mask_rows
             return jnp.sum(diff * diff) / (H * W * 3)
@@ -130,13 +157,6 @@ def main():
         train_step, (params, state), reps=args.train_iters, outer=2
     )
 
-    n_isect = int(
-        np.asarray(
-            jax.jit(
-                lambda m, l: jnp.sum(project_gaussians_2d(m, l, H, W, tb)[4])
-            )(means, L)
-        )
-    )
     print(
         json.dumps(
             {

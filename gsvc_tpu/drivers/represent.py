@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -323,18 +324,43 @@ def parse_args(argv):
     p.add_argument("--kdetect_points", type=int, default=5000)
     p.add_argument("--kdetect_iterations", type=int, default=500)
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints")
+    # Multi-host GOP parallelism (parallel/multihost.py): K-frame chains
+    # are independent, so hosts train disjoint GOP sets and host 0 merges
+    # artifacts — bitwise-identical to the sequential run. Launch with
+    # scripts/sh_train_multihost.sh (sets GSVC_* env for
+    # jax.distributed.initialize) or pass --hosts/--host_id directly.
+    p.add_argument("--hosts", type=int, default=1)
+    p.add_argument("--host_id", type=int, default=-1)
     return p.parse_args(argv)
 
 
 def main(argv):
     args = parse_args(argv)
+    from gsvc_tpu.parallel import multihost
+
+    # Multi-host bring-up: jax.distributed when GSVC_* env is set (the
+    # sh_train_multihost.sh launcher), --hosts/--host_id as the explicit
+    # override. Single-host (hosts == 1) is the unchanged sequential path.
+    dist = multihost.initialize()
+    hosts = args.hosts if args.hosts > 1 else (
+        int(os.environ.get("GSVC_NUM_PROCS", "1"))
+    )
+    if args.host_id >= 0:
+        host_id = args.host_id
+    elif dist:
+        host_id = jax.process_index()
+    else:
+        host_id = int(os.environ.get("GSVC_PROC_ID", "0"))
+    multi = hosts > 1
+    suffix = f".host{host_id}" if multi else ""
+
     base = Path(args.checkpoint_dir)
     run_name = f"{args.model_name}_{args.iterations}_{args.num_points}"
     out_dir = base / args.savdir / args.data_name / run_name
     out_dir.mkdir(parents=True, exist_ok=True)
     model_dir = base / args.savdir_m / args.data_name / run_name
     model_dir.mkdir(parents=True, exist_ok=True)
-    logwriter = LogWriter(out_dir)
+    logwriter = LogWriter(out_dir, suffix=suffix)
 
     video_frames = process_yuv_video(
         args.dataset, args.width, args.height, limit=args.image_length
@@ -344,85 +370,121 @@ def main(argv):
 
     k_dir = base / args.savdir / args.data_name
     k_dir.mkdir(parents=True, exist_ok=True)
-    k_frames = detect_k_frames(video_frames, args, k_dir, args.loss_type)
+    # K-frame detection must be identical everywhere: host 0 computes and
+    # caches K_frames.txt; other hosts rendezvous then read the cache
+    # (detect_k_frames short-circuits on the file).
+    if not multi or host_id == 0:
+        k_frames = detect_k_frames(video_frames, args, k_dir, args.loss_type)
+    if multi:
+        multihost.barrier("kdetect", out_dir, hosts, host_id)
+        k_frames = detect_k_frames(video_frames, args, k_dir, args.loss_type)
     print("K-frames:", k_frames)
 
-    psnrs, ms_ssims, t_train, t_eval, fpses, gnum = [], [], [], [], [], []
-    gmodel = None
-    num_gaussian_points = args.num_points
+    # GOP schedule: every host iterates whole K-frame chains. Single-host
+    # gets all GOPs in order == the sequential frame order.
+    all_gops = multihost.gop_spans(k_frames, image_length)
+    my_gops = (
+        multihost.assign_gops(k_frames, image_length, hosts)[host_id]
+        if multi else all_gops
+    )
+    if multi:
+        print(f"host {host_id}/{hosts}: GOPs {[g[0] for g in my_gops]}")
+
+    psnrs, ms_ssims, t_train, t_eval, fpses = [], [], [], [], []
+    gnum_by_frame = {}
     gmodels_state = {}
     img_list = []
     combined_img_list = []
     img_dir = out_dir / "img"
-    for i in range(image_length):
-        frame_num = i + 1
-        if frame_num in k_frames:
-            trainer = SimpleTrainer2d(
-                video_frames[i], frame_num, loss_type=args.loss_type,
-                num_points=args.num_points, max_num_points=args.num_points,
-                iterations=args.iterations, args=args, Trained_Model=None,
-                isdensity=False, isremoval=args.is_rm,
-                removal_rate=args.removal_rate, seed=args.seed,
-                backend=args.backend, tile_shards=args.tile_shards,
-            )
-        else:
-            trainer = SimpleTrainer2d(
-                video_frames[i], frame_num, loss_type=args.loss_type,
-                num_points=num_gaussian_points,
-                max_num_points=args.num_points,
-                iterations=args.iterations, args=args, Trained_Model=gmodel,
-                isdensity=args.is_ad, isremoval=False,
-                removal_rate=args.removal_rate, seed=args.seed,
-                backend=args.backend, tile_shards=args.tile_shards,
-            )
-        (
-            psnr, msssim, train_time, eval_time, eval_fps,
-            gmodel, combined_img, img, num_gaussian_points, loss,
-        ) = trainer.train(args.is_pos)
-        img_list.append(img)
-        if args.is_pos:
-            combined_img_list.append(combined_img)
-        # PNG dumps (train_video_Represent.py:146-160): every frame with
-        # --save_everyimgs, frames 1 and every 100th with --save_imgs.
-        if args.save_everyimgs or (
-            args.save_imgs and (i == 0 or (i + 1) % 100 == 0)
-        ):
-            img_dir.mkdir(parents=True, exist_ok=True)
-            _save_png(img_dir / f"{frame_num}_fitting.png", img)
-            if args.is_pos:
-                _save_png(
-                    img_dir / f"{frame_num}_fitting_combined_pos.png",
-                    combined_img,
+    for gop in my_gops:
+        gmodel = None
+        num_gaussian_points = args.num_points
+        for frame_num in gop:
+            i = frame_num - 1
+            if frame_num in k_frames:
+                trainer = SimpleTrainer2d(
+                    video_frames[i], frame_num, loss_type=args.loss_type,
+                    num_points=args.num_points,
+                    max_num_points=args.num_points,
+                    iterations=args.iterations, args=args,
+                    Trained_Model=None,
+                    isdensity=False, isremoval=args.is_rm,
+                    removal_rate=args.removal_rate, seed=args.seed,
+                    backend=args.backend, tile_shards=args.tile_shards,
                 )
-        psnrs.append(psnr)
-        ms_ssims.append(msssim)
-        t_train.append(train_time)
-        t_eval.append(eval_time)
-        fpses.append(eval_fps)
-        gnum.append(num_gaussian_points)
-        for k, v in gmodel.items():
-            gmodels_state[f"frame_{frame_num}/{k}"] = v
-        logwriter.write(
-            "Frame_{}: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, Training:{:.4f}s, "
-            "Eval:{:.8f}s, FPS:{:.4f}, Loss:{:.4f}".format(
-                frame_num, trainer.H, trainer.W, psnr, msssim, train_time,
-                eval_time, eval_fps, loss,
+            else:
+                trainer = SimpleTrainer2d(
+                    video_frames[i], frame_num, loss_type=args.loss_type,
+                    num_points=num_gaussian_points,
+                    max_num_points=args.num_points,
+                    iterations=args.iterations, args=args,
+                    Trained_Model=gmodel,
+                    isdensity=args.is_ad, isremoval=False,
+                    removal_rate=args.removal_rate, seed=args.seed,
+                    backend=args.backend, tile_shards=args.tile_shards,
+                )
+            (
+                psnr, msssim, train_time, eval_time, eval_fps,
+                gmodel, combined_img, img, num_gaussian_points, loss,
+            ) = trainer.train(args.is_pos)
+            img_list.append(img)
+            if args.is_pos:
+                combined_img_list.append(combined_img)
+            # PNG dumps (train_video_Represent.py:146-160): every frame
+            # with --save_everyimgs, frames 1/every 100th with --save_imgs.
+            if args.save_everyimgs or (
+                args.save_imgs and (i == 0 or (i + 1) % 100 == 0)
+            ):
+                img_dir.mkdir(parents=True, exist_ok=True)
+                _save_png(img_dir / f"{frame_num}_fitting.png", img)
+                if args.is_pos:
+                    _save_png(
+                        img_dir / f"{frame_num}_fitting_combined_pos.png",
+                        combined_img,
+                    )
+            psnrs.append(psnr)
+            ms_ssims.append(msssim)
+            t_train.append(train_time)
+            t_eval.append(eval_time)
+            fpses.append(eval_fps)
+            gnum_by_frame[frame_num] = num_gaussian_points
+            for k, v in gmodel.items():
+                gmodels_state[f"frame_{frame_num}/{k}"] = v
+            logwriter.write(
+                "Frame_{}: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, "
+                "Training:{:.4f}s, Eval:{:.8f}s, FPS:{:.4f}, "
+                "Loss:{:.4f}".format(
+                    frame_num, trainer.H, trainer.W, psnr, msssim,
+                    train_time, eval_time, eval_fps, loss,
+                )
             )
-        )
 
-    ckpt = model_dir / "gmodels_state_dict.npz"
+    ckpt = model_dir / f"gmodels_state_dict{suffix}.npz"
     np.savez(ckpt, **gmodels_state)
+    with open(out_dir / f"num_gaussian_points{suffix}.txt", "w") as f:
+        for fr in sorted(gnum_by_frame):
+            f.write(f"frame_{fr}: {gnum_by_frame[fr]}\n")
+
+    if multi:
+        multihost.barrier("trained", out_dir, hosts, host_id)
+        if host_id == 0:
+            multihost.merge_host_artifacts(
+                model_dir, out_dir, hosts, args.height, args.width
+            )
+            print("multi-host artifacts merged")
+        # per-host frames are non-contiguous; skip the mp4 (host-0's
+        # merged npz + logs are the artifact set)
+        return 0
+
     file_size = ckpt.stat().st_size
-    with open(out_dir / "num_gaussian_points.txt", "w") as f:
-        for idx, g in enumerate(gnum, start=1):
-            f.write(f"frame_{idx}: {g}\n")
     logwriter.write(
         "Average: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, Training:{:.4f}s, "
         "Eval:{:.8f}s, FPS:{:.4f}, Size:{:.4f}, Gaussian_number:{:.4f}".format(
             args.height, args.width, float(np.mean(psnrs)),
             float(np.mean(ms_ssims)), float(np.mean(t_train)),
             float(np.mean(t_eval)), float(np.mean(fpses)),
-            file_size / (1024 * 1024), float(np.mean(gnum)),
+            file_size / (1024 * 1024),
+            float(np.mean(list(gnum_by_frame.values()))),
         )
     )
     generate_video(out_dir, img_list, args.fps, origin=True)

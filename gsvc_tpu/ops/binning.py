@@ -51,7 +51,11 @@ from gsvc_tpu.ops.projection import _tile_bbox
 # Lanes per rasterizer DMA chunk: every tile-row superblock is padded (with
 # sentinel entries injected into the sort) to a multiple of LANE_ALIGN, so
 # per-row dynamic chunk DMAs stay aligned (see ops/rasterize_pallas.py).
-LANE_ALIGN = 256
+# 128 (not CHUNK=256): the rasterizer's overrun logic only needs chunk
+# STARTS aligned to LANE_ALIGN, and halving the alignment halves the
+# ~(LANE_ALIGN/2 * tile_rows) wasted pad lanes per frame (sorted, packed,
+# DMA'd, and evaluated as dead alpha).
+LANE_ALIGN = 128
 
 
 class BinnedSplats(NamedTuple):
@@ -192,45 +196,47 @@ def bin_gaussians(
     gid = jnp.arange(n, dtype=jnp.int32)
     scatter_idx = jnp.where(kept, starts_g, max_intersects)  # drop the rest
 
-    def seed_fill(payload, empty):
-        s = (
-            jnp.full(max_intersects, empty, jnp.int32)
-            .at[scatter_idx]
-            .max(payload.astype(jnp.int32), mode="drop")
+    def seed_fill(payloads):
+        """ONE row-scatter for all seed rows: XLA scatter is a serial
+        ~7-cycles-per-UPDATE loop on TPU, so scattering a [R] column per
+        index costs barely more than a scalar per index (measured: 2
+        separate [I] scatters 0.20 ms, one [2, I] row scatter 0.13 ms at
+        N=10k on v5e)."""
+        p = jnp.stack([x.astype(jnp.int32) for x in payloads])
+        return (
+            jnp.full((len(payloads), max_intersects), -1, jnp.int32)
+            .at[:, scatter_idx]
+            .max(p, mode="drop")
         )
-        return s
 
     # Packed seed rows (each monotone in gaussian id so the forward-fill
-    # running max stays owned by the newest gaussian). Every row is one XLA
-    # scatter — a serial ~7-cycles-per-update loop on TPU — so fewer rows
-    # is a direct win: 2 rows when (g+1)<<16 fits int32 (n <= 32767, covers
-    # every GSVC operating point), 3 rows up to the 2^23 id limit.
+    # running max stays owned by the newest gaussian): 2 rows when
+    # (g+1)<<16 fits int32 (n <= 32767, covers every GSVC operating
+    # point), 3 rows up to the 2^23 id limit.
     # starts_g < 2^23 (max_intersects budget) so (start << 8) | bbox_w fits.
     fast_key_path = n < 0xFFFF and num_tiles < 0x10000 and _use_pallas_fill()
     if fast_key_path and n <= 32767:
-        seeds = jnp.stack(
+        seeds = seed_fill(
             [
-                seed_fill((starts_g << 8) | bbox_w, -1),
-                seed_fill(
-                    ((gid + 1) << 16) | (tmin_x << 8) | tmin_y, -1
-                ),
+                (starts_g << 8) | bbox_w,
+                ((gid + 1) << 16) | (tmin_x << 8) | tmin_y,
             ]
         )
     elif fast_key_path:
-        seeds = jnp.stack(
+        seeds = seed_fill(
             [
-                seed_fill((starts_g << 8) | bbox_w, -1),
-                seed_fill((gid << 8) | tmin_x, -1),
-                seed_fill((gid << 8) | tmin_y, -1),
+                (starts_g << 8) | bbox_w,
+                (gid << 8) | tmin_x,
+                (gid << 8) | tmin_y,
             ]
         )
     else:
-        seeds = jnp.stack(
+        seeds = seed_fill(
             [
-                seed_fill(starts_g, -1),
-                seed_fill((gid << 8) | bbox_w, -1),
-                seed_fill((gid << 8) | tmin_x, -1),
-                seed_fill((gid << 8) | tmin_y, -1),
+                starts_g,
+                (gid << 8) | bbox_w,
+                (gid << 8) | tmin_x,
+                (gid << 8) | tmin_y,
             ]
         )
     if fast_key_path:

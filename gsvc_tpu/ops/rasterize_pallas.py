@@ -113,47 +113,48 @@ def _pack_lanes(
     f32; the backward's gradient reduction uses them to recover each lane's
     expansion slot elementwise — see _reduce_lane_grads).
 
-    Beyond-cap and padding lanes must contribute nothing: on the fast key
-    path the gather uses the RAW gaussian id (so rows 12-13 stay valid for
-    capped lanes) and zeroes the lane's OPACITY instead — alpha then falls
-    below the cutoff, which gates both passes exactly like the sentinel
-    zero-row did. Without raw keys (slow path), sentinel ids (== N) gather
-    a zero row as before.
+    Layout discipline (measured on v5e at S=178k): the whole pack is built
+    PARAM-major — one [11, N+1] x [S]-index gather along the minor axis,
+    the per-lane ox/oy/tile rows as [1, S] vector math, and one concat
+    along the MAJOR axis (0.43 ms). The previous row-major assembly
+    (gather [S, 11], minor-dim-1 column concats, then a [S,16] -> [16,S]
+    transpose) ran 3x slower (1.25 ms): minor-dim slivers and the
+    16-wide-minor transpose are far off HBM bandwidth on TPU.
+
+    Beyond-cap, row-pad, and tail lanes must contribute nothing: the
+    gather indexes with the CAPPED ids (`sorted_gauss_ids`, sentinel N for
+    all three), fetching the zero column — alpha = 0 falls below the 1/255
+    cutoff, which gates both passes exactly like the reference kernel's
+    first-256-per-tile batch (forward.cu:613). Capped lanes' rows 12-13
+    are then zero, which routes their (exactly zero) backward lane grads
+    to a bogus-but-in-range expansion slot — summing zeros into some real
+    gaussian, i.e. a no-op (see _reduce_lane_grads).
     """
     ids, tiles = binned.sorted_gauss_ids, binned.sorted_tile_ids
-    n = xys.shape[0]
-    cat = jnp.concatenate(
+    cat_pm = jnp.concatenate(
         [
-            xys, conics, opacity.reshape(-1, 1), colors[:, :3],
-            binned.bbox_pack.reshape(-1, 1).astype(jnp.float32),
-            binned.gauss_slot_start[:-1].reshape(-1, 1).astype(jnp.float32),
+            xys.T, conics.T, opacity.reshape(1, -1), colors[:, :3].T,
+            binned.bbox_pack.reshape(1, -1).astype(jnp.float32),
+            binned.gauss_slot_start[:-1].reshape(1, -1).astype(jnp.float32),
         ],
-        axis=1,
-    )  # [N, 11]
-    cat = jnp.concatenate([cat, jnp.zeros((1, cat.shape[1]), cat.dtype)])
-    if binned.sorted_keys is not None:
-        raw = (binned.sorted_keys & 0xFFFF).astype(jnp.int32)
-        gidx = jnp.minimum(raw, n)  # 0xFFFF sentinels -> zero row
-        rows = cat[gidx]  # [S, 11] one gather
-        # cap mask: rank_cap_decode turned beyond-cap ids into sentinels
-        capped = ids != gidx
-        rows = rows.at[:, 5].set(jnp.where(capped, 0.0, rows[:, 5]))
-    else:
-        rows = cat[ids]  # [S, 11]
-    tx = (tiles % tb_x).astype(jnp.float32) * block_w
-    ty = (tiles // tb_x).astype(jnp.float32) * block_h
-    rows = jnp.concatenate(
+        axis=0,
+    )  # [11, N] param-major (small: transposes of [N, <=3] arrays)
+    cat_pm = jnp.pad(cat_pm, ((0, 0), (0, 1)))  # zero column at index N
+    g = cat_pm[:, ids]  # [11, S] — THE gather (minor-axis indexed)
+    tf = tiles.astype(jnp.float32).reshape(1, -1)
+    ty = jnp.floor((tf + 0.5) / float(tb_x))  # exact: tile < 2^16 (binning)
+    tx = tf - ty * float(tb_x)
+    return jnp.concatenate(
         [
-            rows[:, :9],
-            tx[:, None],
-            ty[:, None],
-            tiles.astype(jnp.float32)[:, None],
-            rows[:, 9:11],
+            g[:9],
+            tx * block_w,
+            ty * block_h,
+            tf,
+            g[9:11],
+            jnp.zeros((DATA_ROWS - 14, tf.shape[1]), jnp.float32),
         ],
-        axis=1,
-    )  # [S, 14]
-    rows = jnp.pad(rows, ((0, 0), (0, DATA_ROWS - rows.shape[1])))
-    return rows.T  # [16, S]
+        axis=0,
+    )  # [16, S]
 
 
 def _pixel_features(block_w: int, block_h: int):

@@ -10,11 +10,12 @@ import os
 
 
 class LogWriter:
-    def __init__(self, file_path, train: bool = True):
+    def __init__(self, file_path, train: bool = True, suffix: str = ""):
+        """suffix: per-host shard tag for multi-host runs (e.g. ".host0");
+        shards are merged by parallel.multihost.merge_host_artifacts."""
         os.makedirs(file_path, exist_ok=True)
-        self.file_path = os.path.join(
-            str(file_path), "train.txt" if train else "test.txt"
-        )
+        name = ("train" if train else "test") + suffix + ".txt"
+        self.file_path = os.path.join(str(file_path), name)
 
     def write(self, text: str) -> None:
         print(text)
