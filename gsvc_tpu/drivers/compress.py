@@ -66,6 +66,11 @@ def parse_args(argv):
     p.add_argument("--removal_rate", type=float, default=0.1)
     p.add_argument("--is_rm", action="store_true")
     p.add_argument("--backend", type=str, default="auto")
+    # Intersection-budget headroom (x num_points). QAT inflates splat
+    # footprints (6-bit-quantized covariances + delta offsets), so the
+    # compress stage needs ~2x the representation stage's default of 16;
+    # overflow is surfaced per frame either way.
+    p.add_argument("--budget_factor", type=int, default=32)
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints_quant")
     p.add_argument("--k_frames_dir", type=str, default="./checkpoints")
     return p.parse_args(argv)
@@ -104,12 +109,19 @@ def main(argv):
         p_gmodel = (
             None if frame_num in k_frames else gmodels[f"frame_{i}"]
         )
+        from gsvc_tpu.ops.binning import default_max_intersects
+
+        n_pts = gmodel["_xyz"].shape[0]
+        tb = ((W + 15) // 16, (H + 15) // 16)
         cfg = FrameConfig(
             H=H, W=W,
-            num_points=gmodel["_xyz"].shape[0],
-            max_num_points=gmodel["_xyz"].shape[0],
+            num_points=n_pts,
+            max_num_points=n_pts,
             iterations=args.iterations, lr=args.lr,
             loss_type=args.loss_type, backend=args.backend,
+            max_intersects=default_max_intersects(
+                n_pts, tb[0] * tb[1], factor=args.budget_factor
+            ),
         )
         key = jax.random.key(args.seed * 100003 + frame_num)
         state = init_compress_state(key, gmodel, p_gmodel)
@@ -127,6 +139,16 @@ def main(argv):
             )
 
         bits, img = measure_bits(state, cfg)
+        # Write the actual frame bitstream (the bytes the bpp accounting
+        # counts) — decodable standalone via compress.bitstream.decode_frame
+        # + render_decoded. The reference never emits a decodable stream.
+        from gsvc_tpu.compress.bitstream import encode_frame
+
+        bs_dir = model_dir / "bitstream"
+        bs_dir.mkdir(parents=True, exist_ok=True)
+        (bs_dir / f"frame_{frame_num}.gsvc").write_bytes(
+            encode_frame(state, cfg)
+        )
         mse = float(jnp.mean((img - gt) ** 2))
         psnr = 10 * math.log10(1.0 / mse)
         mss = float(

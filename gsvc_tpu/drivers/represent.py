@@ -130,6 +130,17 @@ class SimpleTrainer2d:
                     f"{jax.device_count()}"
                 )
             self.mesh = tile_mesh(tile_shards)
+        if args is not None and getattr(args, "budget_factor", 0):
+            from gsvc_tpu.ops.binning import default_max_intersects
+
+            tbb = self.cfg.tile_bounds
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                max_intersects=default_max_intersects(
+                    max_num_points, tbb[0] * tbb[1],
+                    factor=args.budget_factor,
+                ),
+            )
         key = jax.random.key(seed * 100003 + frame_num)
         if Trained_Model is not None:
             warm = _warm_params(Trained_Model, max_num_points)
@@ -314,6 +325,9 @@ def parse_args(argv):
     p.add_argument("--is_ad", action="store_true")
     p.add_argument("--is_rm", action="store_true")
     p.add_argument("--backend", type=str, default="auto")
+    # Intersection-budget headroom (x num_points); overflow is surfaced
+    # per frame (0 = the library default, also 16)
+    p.add_argument("--budget_factor", type=int, default=0)
     # Multi-chip: shard each frame's tile rows over N devices (psum'd splat
     # grads; full splat-control/early-stop semantics — parallel/sharded.py).
     # New capability vs the single-GPU reference (train_video_Represent.py:36).

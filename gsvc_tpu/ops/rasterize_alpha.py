@@ -169,6 +169,13 @@ def rasterize_gaussians_alpha_np_oracle(
     import numpy as np
 
     n, c_dim = colors.shape
+    # flatten [N, 1] opacity: float() on a size-1 ndarray is deprecated
+    # (becomes an error on future numpy) and spammed ~88k warnings per run
+    xys = np.asarray(xys)
+    radii = np.asarray(radii).reshape(-1)
+    conics = np.asarray(conics)
+    colors = np.asarray(colors)
+    opacity = np.asarray(opacity).reshape(-1)
     if background is None:
         background = np.zeros(c_dim, np.float32)
     order = np.argsort(depths, kind="stable")

@@ -909,12 +909,32 @@ def _reduce_lane_grads(vdata, binned, n, row0, num_rows, data=None, tb_x=None):
     hi = binned.row_lane_start[row0 + num_rows]
     span = (lane >= lo) & (lane < hi)
 
+    # Slot/lane bit budget for the two-sort permutation inversion: slots
+    # and lanes both live in [0, s_cap], packed as (slot << B | lane_part)
+    # in u32, lane split across the two sorts as B low + (slot_bits - B)
+    # high bits. Feasible iff slot_bits <= 2 * (32 - slot_bits), i.e.
+    # s_cap < 2^21 (~2M lanes — factor-32 budgets at 50k splats).
+    slot_bits = max(int(s_cap).bit_length(), 15)
+    lane_b = 32 - slot_bits
     fast = (
         binned.sorted_keys is not None
         and data is not None
         and tb_x is not None
-        and s_cap < (1 << 18) - 1
+        and slot_bits <= 2 * lane_b
     )
+    if binned.sorted_keys is not None and not fast:
+        # static condition -> warn once at trace time, not silently: the
+        # serial segment_sum fallback costs ~1.4 ms at S=178k on v5e
+        import warnings
+
+        warnings.warn(
+            f"rasterize backward: lane capacity S={s_cap} exceeds the "
+            "2^21 slot-packing limit of the sort-based gradient "
+            "reduction; falling back to the serial segment_sum path "
+            "(slow). Lower max_intersects below ~2M lanes to restore "
+            "the fast path.",
+            stacklevel=2,
+        )
     if not fast:
         ids = jnp.where(span, ids, n)
         seg = jax.ops.segment_sum(vdata.T, ids, num_segments=n + 1)[:n]
@@ -932,15 +952,16 @@ def _reduce_lane_grads(vdata, binned, n, row0, num_rows, data=None, tb_x=None):
     ty = tile // tb_x
     tx = tile - ty * tb_x
     j = (ty - ty0) * bw + (tx - tx0)
-    slot = jnp.where(real, gss + j, (1 << 18) - 1).astype(jnp.uint32)
+    slot = jnp.where(real, gss + j, (1 << slot_bits) - 1).astype(jnp.uint32)
 
     lane_u = lane.astype(jnp.uint32)
-    c1 = (slot << 14) | (lane_u & jnp.uint32(0x3FFF))
-    c2 = (slot << 14) | (lane_u >> 14)
+    lo_mask = jnp.uint32((1 << lane_b) - 1)
+    c1 = (slot << lane_b) | (lane_u & lo_mask)
+    c2 = (slot << lane_b) | (lane_u >> lane_b)
     s1 = jax.lax.sort(c1, is_stable=False)
     s2 = jax.lax.sort(c2, is_stable=False)
     lane_of = (
-        ((s2 & jnp.uint32(0x3FFF)) << 14) | (s1 & jnp.uint32(0x3FFF))
+        ((s2 & lo_mask) << lane_b) | (s1 & lo_mask)
     ).astype(jnp.int32)
 
     vmask = jnp.where(span, 1.0, 0.0)

@@ -25,6 +25,9 @@ from gsvc_tpu.models.represent import (
     make_train_step,
 )
 
+# heavyweight tier: repeated independent jit compiles
+pytestmark = pytest.mark.slow
+
 
 def _state_and_gt(backend, H=64, W=48, n=96, seed=2):
     cfg = FrameConfig(

@@ -8,6 +8,9 @@ import pytest
 from gsvc_tpu.drivers import compress as compress_driver
 from gsvc_tpu.drivers import represent as represent_driver
 
+# heavyweight tier: interpret-mode Pallas / long fits / full drivers
+pytestmark = pytest.mark.slow
+
 
 def _write_synth_yuv(path, W=48, H=32, F=3):
     rng = np.random.default_rng(0)
@@ -81,3 +84,18 @@ def test_represent_then_compress_e2e(tmp_path):
     assert (cout / "train.txt").exists()
     ctext = (cout / "train.txt").read_text()
     assert "bpp" in ctext.lower()
+
+    # full decode round-trip from the written bitstream: a K-frame must
+    # reconstruct a valid image purely from the coded bytes
+    from gsvc_tpu.compress.bitstream import decode_frame, render_decoded
+    from gsvc_tpu.config import FrameConfig
+
+    bs = ckpt / "cmodels" / "synth" / "GaussianVideo_20_40" / "bitstream"
+    blob = (bs / "frame_1.gsvc").read_bytes()
+    means, chol, colors = decode_frame(blob)
+    cfg = FrameConfig(H=32, W=48, num_points=means.shape[0],
+                      max_num_points=means.shape[0], iterations=1,
+                      backend="binned")
+    img = np.asarray(render_decoded(means, chol, colors, cfg))
+    assert img.shape == (32, 48, 3)
+    assert np.isfinite(img).all() and img.std() > 0.01

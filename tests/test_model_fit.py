@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gsvc_tpu.config import FrameConfig
 from gsvc_tpu.models.represent import (
@@ -11,6 +12,9 @@ from gsvc_tpu.models.represent import (
     pre_train_frame,
     render_frame,
 )
+
+# heavyweight tier: interpret-mode Pallas / long fits / full drivers
+pytestmark = pytest.mark.slow
 
 
 def _target_image(H, W, seed=0):

@@ -29,6 +29,9 @@ from gsvc_tpu.ops.sh import (
     spherical_harmonics,
 )
 
+# heavyweight tier: Python-loop alpha oracle comparisons
+pytestmark = pytest.mark.slow
+
 
 # ---------------------------------------------------------------- SH
 

@@ -21,6 +21,9 @@ import gsvc_tpu.ops.rasterize_pallas as rp
 from gsvc_tpu.ops.projection import project_gaussians_2d
 from gsvc_tpu.ops.rasterize import rasterize_gaussians_sum
 
+# heavyweight tier: interpret-mode Pallas / long fits / full drivers
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():

@@ -27,9 +27,13 @@ from gsvc_tpu.parallel.sharded import (
     tile_mesh,
 )
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        jax.device_count() < 8, reason="needs 8 virtual devices"
+    ),
+    # heavyweight tier: 8-virtual-device shard_map compiles
+    pytest.mark.slow,
+]
 
 
 def _setup(n_frames, H, W, n_splats=64, seed=0, **cfg_kw):
