@@ -71,6 +71,9 @@ def parse_args(argv):
     # compress stage needs ~2x the representation stage's default of 16;
     # overflow is surfaced per frame either way.
     p.add_argument("--budget_factor", type=int, default=32)
+    # Multi-chip: shard each frame's tile rows over N devices during the
+    # QAT fine-tune (parallel/sharded.fit_compress_sharded)
+    p.add_argument("--tile_shards", type=int, default=0)
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints_quant")
     p.add_argument("--k_frames_dir", type=str, default="./checkpoints")
     return p.parse_args(argv)
@@ -126,7 +129,17 @@ def main(argv):
         key = jax.random.key(args.seed * 100003 + frame_num)
         state = init_compress_state(key, gmodel, p_gmodel)
         t0 = time.time()
-        state = fit_compress(state, gt, cfg)
+        if args.tile_shards and args.tile_shards > 1:
+            from gsvc_tpu.parallel.sharded import (
+                fit_compress_sharded,
+                tile_mesh,
+            )
+
+            state = fit_compress_sharded(
+                state, gt, cfg, tile_mesh(args.tile_shards)
+            )
+        else:
+            state = fit_compress(state, gt, cfg)
         _sync(state.params.xyz)  # transfer sync: relay block_until_ready is unreliable
         train_time = time.time() - t0
         overflow = int(compress_overflow(state, cfg))

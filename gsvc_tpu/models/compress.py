@@ -143,12 +143,15 @@ def forward_quantize(
     cfg: FrameConfig,
     training: bool,
     layout: str = "image",
+    tile_rows=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, VQState]:
     """Quantize-aware render. Returns (img, vq_loss, chol_codes, new_vq).
 
     Frame mode (p_* all zeros) mirrors GaussianSplats_Compress.py:71-84;
     delta mode mirrors :165-179. layout='rows' renders in the kernel's
-    native tile-row layout (see models/represent._use_rows_loss).
+    native tile-row layout (see models/represent._use_rows_loss);
+    tile_rows=(row0, num_rows) renders only that tile-row span (image
+    sharding, parallel/sharded.py).
     """
     means = jnp.tanh(fake_quantize_half(params.xyz) + p_xyz)
     uq = UniformQuantParams(scale=params.q_scale, beta=params.q_beta)
@@ -170,7 +173,7 @@ def forward_quantize(
         xys, depths, radii, conics, nth, colors, opacity,
         cfg.H, cfg.W, cfg.block_h, cfg.block_w,
         backend=cfg.backend, max_intersects=cfg.max_intersects,
-        layout=layout,
+        layout=layout, tile_rows=tile_rows,
     )
     img = jnp.clip(img, 0.0, 1.0)
     return img, l_vqc, chol_codes, new_vq
@@ -200,39 +203,60 @@ def compress_overflow(state: CompressState, cfg: FrameConfig) -> jax.Array:
     return budget_overflow(nth, mi)
 
 
-def make_train_step_quantize(cfg: FrameConfig):
+def make_train_step_quantize(cfg: FrameConfig, shard=None):
     """train_iter_quantize (GaussianSplats_Compress.py:86-98):
     loss = L2(recon) + vq_loss; Adan step; StepLR.
 
     step() takes an optional pre-tiled rows_target to run the L2 recon in
-    the rasterizer's native tile-row layout (models/represent rows-loss)."""
+    the rasterizer's native tile-row layout (models/represent rows-loss).
+
+    With `shard` (models.represent.TileShard), the step runs inside
+    shard_map with the image tile-rows sharded: gt/rows_target are the
+    local shard, the recon term and per-splat grads are psum'd, and the
+    VQ/EMA codebook updates — which depend only on the (replicated)
+    feature set, not the image — stay replicated and identical everywhere.
+    """
+    from gsvc_tpu.models.represent import _shard_tile_rows
 
     def step(
         state: CompressState, gt: jax.Array, rows_target=None
     ) -> CompressState:
         it = state.it + 1
         key, sub = jax.random.split(state.key)
+        tile_rows = None if shard is None else _shard_tile_rows(cfg, shard)
 
         def loss_fn(p: dict):
+            """Per-device loss SHARE: no collective touches the
+            differentiated path (the transpose of psum under unchecked
+            shard_map replication is psum, which would scale grads by
+            num_shards — Adan's scale invariance would mask it). The
+            shares sum to the true loss: local recon + vq/num_shards."""
             params = CompressParams(**p)
             layout = "image" if rows_target is None else "rows"
             img, vq_loss, _codes, new_vq = forward_quantize(
                 params, state.vq, state.p_xyz, state.p_cholesky,
                 state.p_features_dc, sub, cfg, training=True, layout=layout,
+                tile_rows=tile_rows,
             )
+            denom = cfg.H * cfg.W * 3
             if rows_target is None:
-                recon = jnp.mean((img - gt) ** 2)
+                recon = jnp.sum((img - gt) ** 2) / denom
             else:
                 gt_rows, mask = rows_target
                 diff = (img - gt_rows) * mask
-                recon = jnp.sum(diff * diff) / (cfg.H * cfg.W * 3)
-            psnr = 10.0 * jnp.log10(1.0 / recon)
-            return recon + vq_loss, (psnr, new_vq)
+                recon = jnp.sum(diff * diff) / denom
+            n_sh = 1 if shard is None else shard.num_shards
+            return recon + vq_loss / n_sh, (recon, vq_loss, new_vq)
 
         tr = _p2d(state.params)
-        (loss, (psnr, new_vq)), grads = jax.value_and_grad(
+        (_gl, (recon, vq_loss, new_vq)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(tr)
+        if shard is not None:
+            grads = jax.lax.psum(grads, shard.axis_name)
+            recon = jax.lax.psum(recon, shard.axis_name)
+        loss = recon + vq_loss
+        psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(recon, 1e-20))
         lr = step_lr(cfg.lr, it - 1)
         new_tr, new_opt = adan_step(tr, grads, state.opt, lr,
                                     betas=cfg.betas, eps=cfg.eps)

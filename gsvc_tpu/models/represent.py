@@ -282,15 +282,24 @@ def _loss_and_psnr(
     """Loss + PSNR (+ the rendered output, for tracing).
 
     With `shard`, `gt` (and `rows_target`) are this device's tile-row
-    shard; the returned loss/psnr are GLOBAL (psum over the shard axis),
-    identical on every device. Sharded mode supports the pointwise losses
+    shard, and the returned loss/sq are this device's LOCAL terms — no
+    collective touches the differentiated path (under shard_map with
+    unchecked replication, the transpose of `psum` is `psum`, which would
+    silently scale the gradients by num_shards; Adan's scale invariance
+    masks that almost perfectly, which is exactly why it must not happen).
+    The caller (`make_train_step`) psums the loss value and gradients
+    OUTSIDE the grad path. Sharded mode supports the pointwise losses
     (L2/L1) — structural (SSIM-family) losses need cross-shard windows.
+
+    Returns (loss, (sq_sum, render)): sq_sum is the (local) sum of squared
+    error — the caller derives PSNR from it.
     """
     if shard is not None and cfg.loss_type not in ("L2", "L1"):
         raise ValueError(
             f"tile-sharded training supports pointwise losses, got "
             f"{cfg.loss_type!r}"
         )
+    denom = cfg.H * cfg.W * 3
     tile_rows = None
     if shard is not None:
         tile_rows = _shard_tile_rows(cfg, shard)
@@ -298,35 +307,21 @@ def _loss_and_psnr(
         rows = render_frame_rows(params, alive, cfg, tile_rows=tile_rows)
         gt_rows, mask = rows_target
         diff = (rows - gt_rows) * mask  # mask zeroes tile-padding pixels
-        denom = cfg.H * cfg.W * 3
         sq = jnp.sum(diff * diff)
-        l1 = jnp.sum(jnp.abs(diff))
-        if shard is not None:
-            sq = jax.lax.psum(sq, shard.axis_name)
-            l1 = jax.lax.psum(l1, shard.axis_name)
-        mse = sq / denom
-        loss = mse if cfg.loss_type == "L2" else l1 / denom
-        psnr = 10.0 * jnp.log10(1.0 / mse)
-        return loss, (psnr, rows)
+        loss = (sq if cfg.loss_type == "L2" else jnp.sum(jnp.abs(diff)))
+        return loss / denom, (sq, rows)
     img = render_frame(params, alive, cfg, tile_rows=tile_rows)
     if shard is not None:
-        denom = cfg.H * cfg.W * 3
         diff = img - gt
-        sq = jax.lax.psum(jnp.sum(diff * diff), shard.axis_name)
-        mse = sq / denom
-        if cfg.loss_type == "L2":
-            loss = mse
-        else:
-            loss = jax.lax.psum(jnp.sum(jnp.abs(diff)), shard.axis_name) / denom
-        psnr = 10.0 * jnp.log10(1.0 / mse)
-        return loss, (psnr, img)
+        sq = jnp.sum(diff * diff)
+        loss = (sq if cfg.loss_type == "L2" else jnp.sum(jnp.abs(diff)))
+        return loss / denom, (sq, img)
     loss = loss_fn(
         img.transpose(2, 0, 1), gt.transpose(2, 0, 1),
         cfg.loss_type, lambda_value=lambda_value,
     )
-    mse = jnp.mean((img - gt) ** 2)
-    psnr = 10.0 * jnp.log10(1.0 / mse)
-    return loss, (psnr, img)
+    sq = jnp.sum((img - gt) ** 2)
+    return loss, (sq, img)
 
 
 def _alive_rank_by_weight(params: SplatParams, alive: jax.Array) -> jax.Array:
@@ -467,7 +462,7 @@ def make_train_step(
     def step(state: TrainState, gt: jax.Array, rows_target=None) -> TrainState:
         it = state.it + 1  # 1-based like the reference loop
         tr = _trainable(state.params)
-        (loss, (psnr, _img)), grads = jax.value_and_grad(
+        (loss, (sq, _img)), grads = jax.value_and_grad(
             lambda p: _loss_and_psnr(
                 _from_trainable(p), state.alive, gt, cfg, lambda_value,
                 rows_target, shard,
@@ -475,9 +470,13 @@ def make_train_step(
             has_aux=True,
         )(tr)
         if shard is not None:
-            # each device's grads cover only its tile-row span; the psum is
-            # the collective analog of backward.cu:843-858's atomicAdd
+            # each device's loss/grads cover only its tile-row span; the
+            # psums (OUTSIDE the differentiated path — see _loss_and_psnr)
+            # are the collective analog of backward.cu:843-858's atomicAdd
             grads = jax.lax.psum(grads, shard.axis_name)
+            loss = jax.lax.psum(loss, shard.axis_name)
+            sq = jax.lax.psum(sq, shard.axis_name)
+        psnr = 10.0 * jnp.log10(cfg.H * cfg.W * 3 / jnp.maximum(sq, 1e-20))
 
         params, alive, key = state.params, state.alive, state.key
         rebuilt = jnp.bool_(False)
@@ -654,13 +653,16 @@ def pre_train_frame(
     def body(s: TrainState, _):
         it = s.it + 1
         tr = _trainable(s.params)
-        (loss, (psnr, _)), grads = jax.value_and_grad(
+        (loss, (sq, _)), grads = jax.value_and_grad(
             lambda p: _loss_and_psnr(
                 _from_trainable(p), s.alive, gt, cfg, lambda_value,
                 rows_target,
             ),
             has_aux=True,
         )(tr)
+        psnr = 10.0 * jnp.log10(
+            cfg.H * cfg.W * 3 / jnp.maximum(sq, 1e-20)
+        )
         lr = step_lr(cfg.lr, it - 1)
         new_tr, new_opt = adan_step(tr, grads, s.opt, lr, betas=cfg.betas, eps=cfg.eps)
         return dataclasses.replace(

@@ -167,6 +167,43 @@ def fit_frame_sharded(
     return FitResult(state=final, image=img[: cfg.H])
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def fit_compress_sharded(state, gt, cfg: FrameConfig, mesh: Mesh):
+    """`models.compress.fit_compress` (QAT fine-tune + best-PSNR snapshot)
+    with the image tile-rows sharded over the mesh's "tile" axis. The VQ
+    EMA codebook path stays replicated (it depends only on the replicated
+    feature set); recon loss and per-splat grads psum over the axis."""
+    import dataclasses
+
+    from gsvc_tpu.models.compress import make_train_step_quantize
+
+    n_tile = mesh.shape["tile"]
+    _check_shardable(cfg, n_tile)
+    shard = TileShard("tile", n_tile)
+    step = make_train_step_quantize(cfg, shard=shard)
+    use_rows = _use_rows_loss(cfg)
+
+    def local_fit(state, gt_shard):
+        rows_target = make_rows_target(gt_shard, cfg) if use_rows else None
+
+        def body(s, _):
+            return step(s, gt_shard, rows_target), None
+
+        final, _ = jax.lax.scan(body, state, None, length=cfg.iterations)
+        return dataclasses.replace(
+            final, params=final.best_params, vq=final.best_vq
+        )
+
+    fit = jax.shard_map(
+        local_fit,
+        mesh=mesh,
+        in_specs=(P(), P("tile")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fit(state, gt)
+
+
 def replicate_to_mesh(mesh: Mesh, tree, spec=P()):
     sharding = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -162,3 +162,150 @@ def test_sharded_step_matches_single_device_pallas():
         _assert_states_close(out_sh, out_ref)
     finally:
         rp.INTERPRET = False
+
+
+def test_fit_compress_sharded_matches_single_device():
+    """Tile-sharded QAT fine-tune (recon psum'd, VQ replicated with the
+    commitment-loss gradient correctly de-duplicated) matches the
+    single-device fit_compress."""
+    from gsvc_tpu.models.compress import fit_compress, init_compress_state
+    from gsvc_tpu.parallel.sharded import fit_compress_sharded
+
+    H, W, n = 64, 48, 48
+    rng = np.random.default_rng(5)
+    gmodel = {
+        "_xyz": rng.normal(0, 0.5, (n, 2)).astype(np.float32),
+        "_cholesky": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "_features_dc": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+    }
+    cfg = FrameConfig(
+        H=H, W=W, num_points=n, max_num_points=n, iterations=8,
+        backend="binned",
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+    state = init_compress_state(jax.random.key(9), gmodel)
+    # (a) RAW gradient parity at tight tolerance — this is the assertion
+    # that catches systematic sharding errors (e.g. the replicated
+    # commitment-loss gradient over-counting by num_shards, which Adan's
+    # scale-invariant normalization would otherwise mask).
+    from jax.sharding import PartitionSpec as P
+    from gsvc_tpu.models.compress import (
+        CompressParams,
+        _p2d,
+        forward_quantize,
+    )
+    from gsvc_tpu.models.represent import TileShard, _shard_tile_rows
+
+    def loss_ref(tr):
+        params = CompressParams(**tr)
+        img, vq_loss, _c, _v = forward_quantize(
+            params, state.vq, state.p_xyz, state.p_cholesky,
+            state.p_features_dc, jax.random.key(1), cfg, training=True,
+        )
+        return jnp.mean((img - gt) ** 2) + vq_loss
+
+    g_ref = jax.jit(jax.grad(loss_ref))(_p2d(state.params))
+
+    shard = TileShard("tile", 4)
+
+    def loss_sh(tr, gt_shard):
+        # per-device loss SHARE (no psum in the differentiated path —
+        # its transpose under unchecked shard_map replication is psum,
+        # which scales grads by num_shards)
+        params = CompressParams(**tr)
+        img, vq_loss, _c, _v = forward_quantize(
+            params, state.vq, state.p_xyz, state.p_cholesky,
+            state.p_features_dc, jax.random.key(1), cfg, training=True,
+            tile_rows=_shard_tile_rows(cfg, shard),
+        )
+        sq = jnp.sum((img - gt_shard) ** 2)
+        return sq / (cfg.H * cfg.W * 3) + vq_loss / shard.num_shards
+
+    mesh = tile_mesh(4)
+    g_sh = jax.jit(
+        jax.shard_map(
+            lambda tr, g: jax.lax.psum(jax.grad(loss_sh)(tr, g), "tile"),
+            mesh=mesh, in_specs=(P(), P("tile")), out_specs=P(),
+            check_vma=False,
+        )
+    )(_p2d(state.params), gt)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_sh[k]), np.asarray(g_ref[k]),
+            rtol=1e-3, atol=1e-6, err_msg=k,
+        )
+
+    # (b) short fit comparison. Adan is scale-invariant per element, so
+    # splats with ~zero grads take full +-lr steps whose SIGN flips on
+    # psum-vs-serial f32 noise — tolerate 2*lr*iters of such drift.
+    ref = fit_compress(state, gt, cfg)
+    sh = fit_compress_sharded(state, gt, cfg, tile_mesh(4))
+    np.testing.assert_allclose(float(sh.loss), float(ref.loss), rtol=5e-3)
+    drift = 2.5 * cfg.lr * cfg.iterations
+    for name in ("xyz", "cholesky", "features_dc", "q_scale", "q_beta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(sh.params, name)),
+            np.asarray(getattr(ref.params, name)),
+            rtol=0, atol=drift, err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(sh.vq.embed), np.asarray(ref.vq.embed),
+        rtol=0, atol=drift,
+    )
+
+
+def test_represent_sharded_grads_match_unsharded():
+    """RAW gradient parity for the represent loss under sharding — Adan's
+    scale invariance masks constant grad scalings (e.g. the psum-transpose
+    num_shards factor), so parameter-level tests cannot catch them."""
+    from jax.sharding import PartitionSpec as P
+    from gsvc_tpu.models.represent import (
+        TileShard,
+        _from_trainable,
+        _loss_and_psnr,
+        _trainable,
+    )
+
+    H, W, n = 64, 48, 64
+    cfg = FrameConfig(
+        H=H, W=W, num_points=n, max_num_points=n, iterations=1,
+        backend="binned",
+    )
+    state = init_train_state(jax.random.key(11), cfg)
+    gt = jnp.asarray(
+        np.random.default_rng(11).uniform(0, 1, (H, W, 3)), jnp.float32
+    )
+
+    g_ref = jax.jit(
+        jax.grad(
+            lambda tr: _loss_and_psnr(
+                _from_trainable(tr), state.alive, gt, cfg, 0.0
+            )[0]
+        )
+    )(_trainable(state.params))
+
+    shard = TileShard("tile", 4)
+    mesh = tile_mesh(4)
+
+    def local_grad(tr, gt_shard):
+        return jax.lax.psum(
+            jax.grad(
+                lambda t: _loss_and_psnr(
+                    _from_trainable(t), state.alive, gt_shard, cfg, 0.0,
+                    None, shard,
+                )[0]
+            )(tr),
+            "tile",
+        )
+
+    g_sh = jax.jit(
+        jax.shard_map(
+            local_grad, mesh=mesh, in_specs=(P(), P("tile")),
+            out_specs=P(), check_vma=False,
+        )
+    )(_trainable(state.params), gt)
+    for k in g_ref:
+        np.testing.assert_allclose(
+            np.asarray(g_sh[k]), np.asarray(g_ref[k]),
+            rtol=1e-3, atol=1e-7, err_msg=k,
+        )
