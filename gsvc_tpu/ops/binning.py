@@ -128,13 +128,18 @@ def _use_pallas_fill() -> bool:
 def static_capacity(max_intersects: int, tile_bounds: Tuple[int, int, int]) -> int:
     """Static lane capacity S of the sorted layout for a given budget.
 
-    Aligned to the rasterizer's DMA chunk (>= LANE_ALIGN) so a row's last
-    chunk can overrun into the pad region without reading out of bounds."""
+    Row superblocks are LANE_ALIGN-aligned but the rasterizer DMAs
+    CHUNK-lane slices, so the LAST row's final chunk can overrun its row
+    end by up to CHUNK - LANE_ALIGN lanes; the capacity carries that
+    extra slack (plus CHUNK alignment) so no DMA ever reads out of
+    bounds. (Without the slack this faulted the TPU at operating points
+    where the row pads landed flush against the capacity, e.g. 20k
+    splats at the default budget.)"""
     from gsvc_tpu.ops.rasterize_pallas import CHUNK
 
     tb_y = int(tile_bounds[1])
     align = max(LANE_ALIGN, CHUNK)
-    cap = max_intersects + (LANE_ALIGN - 1) * tb_y
+    cap = max_intersects + (LANE_ALIGN - 1) * tb_y + (align - LANE_ALIGN)
     return ((cap + align - 1) // align) * align
 
 

@@ -145,3 +145,19 @@ def test_pallas_fill_tile_cap(_pallas_interpret):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=name
         )
+
+
+def test_static_capacity_covers_chunk_overrun():
+    """The rasterizer DMAs CHUNK-lane slices from LANE_ALIGN-aligned row
+    starts, so the final chunk may overrun the last row's end by up to
+    CHUNK - LANE_ALIGN lanes; static_capacity must bound that (reading
+    past the buffer faulted the TPU at 20k splats / default budget)."""
+    from gsvc_tpu.ops.binning import LANE_ALIGN, static_capacity
+    from gsvc_tpu.ops.rasterize_pallas import CHUNK
+
+    for mi in (1024, 81920, 160768, 321536, 500000):
+        for tb in ((120, 68, 1), (60, 34, 1), (16, 16, 1)):
+            s_cap = static_capacity(mi, tb)
+            worst_end = mi + (LANE_ALIGN - 1) * tb[1]
+            assert s_cap >= worst_end + (CHUNK - LANE_ALIGN), (mi, tb)
+            assert s_cap % max(LANE_ALIGN, CHUNK) == 0
