@@ -74,6 +74,9 @@ def parse_args(argv):
     # Multi-chip: shard each frame's tile rows over N devices during the
     # QAT fine-tune (parallel/sharded.fit_compress_sharded)
     p.add_argument("--tile_shards", type=int, default=0)
+    # Bound single device executions to N iterations (relay-crash blast
+    # radius; identical trajectory — models.compress.fit_compress_chunked)
+    p.add_argument("--fit_chunk", type=int, default=0)
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints_quant")
     p.add_argument("--k_frames_dir", type=str, default="./checkpoints")
     return p.parse_args(argv)
@@ -138,6 +141,10 @@ def main(argv):
             state = fit_compress_sharded(
                 state, gt, cfg, tile_mesh(args.tile_shards)
             )
+        elif args.fit_chunk and args.iterations > args.fit_chunk:
+            from gsvc_tpu.models.compress import fit_compress_chunked
+
+            state = fit_compress_chunked(state, gt, cfg, args.fit_chunk)
         else:
             state = fit_compress(state, gt, cfg)
         _sync(state.params.xyz)  # transfer sync: relay block_until_ready is unreliable

@@ -98,7 +98,11 @@ class SimpleTrainer2d:
         seed: int = 1,
         backend: str = "auto",
         tile_shards: int = 0,
+        fit_chunk: int = 0,
     ):
+        self.fit_chunk = fit_chunk or (
+            getattr(args, "fit_chunk", 0) if args is not None else 0
+        )
         self.gt = jnp.asarray(image.astype(np.float32) / 255.0)  # [H, W, 3]
         self.H, self.W = image.shape[0], image.shape[1]
         self.frame_num = frame_num
@@ -155,6 +159,25 @@ class SimpleTrainer2d:
             from gsvc_tpu.parallel.sharded import fit_frame_sharded
 
             res = fit_frame_sharded(self.state, self.gt, self.cfg, self.mesh)
+        elif self.fit_chunk and self.cfg.iterations > self.fit_chunk:
+            # bound single device executions (relay-crash blast radius);
+            # chaining fit_frame_partial chunks == one fit_frame
+            from gsvc_tpu.models.represent import (
+                FitResult,
+                fit_frame_partial,
+            )
+
+            s = self.state
+            for lo in range(0, self.cfg.iterations, self.fit_chunk):
+                s = fit_frame_partial(
+                    s, self.gt, min(lo + self.fit_chunk, self.cfg.iterations),
+                    self.cfg,
+                )
+                _sync(s.loss)
+                if bool(s.stop) or int(s.it) >= self.cfg.iterations:
+                    break
+            img = render_frame(s.params, s.alive, self.cfg)
+            res = FitResult(state=s, image=img)
         else:
             res = fit_frame(self.state, self.gt, self.cfg)
         _sync(res.state.params.xyz)  # transfer sync: relay block_until_ready is unreliable
@@ -328,6 +351,11 @@ def parse_args(argv):
     # Intersection-budget headroom (x num_points); overflow is surfaced
     # per frame (0 = the library default, also 16)
     p.add_argument("--budget_factor", type=int, default=0)
+    # Split each frame's fit into device executions of at most N
+    # iterations (0 = one execution per frame). Identical math/trajectory
+    # (models.represent.fit_frame_partial); use on relay-fronted TPU
+    # backends where very long single executions can kill the worker.
+    p.add_argument("--fit_chunk", type=int, default=0)
     # Multi-chip: shard each frame's tile rows over N devices (psum'd splat
     # grads; full splat-control/early-stop semantics — parallel/sharded.py).
     # New capability vs the single-GPU reference (train_video_Represent.py:36).

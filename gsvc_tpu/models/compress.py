@@ -282,12 +282,18 @@ def make_train_step_quantize(cfg: FrameConfig, shard=None):
     return step
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "reload_best"))
 def fit_compress(
-    state: CompressState, gt: jax.Array, cfg: FrameConfig
+    state: CompressState, gt: jax.Array, cfg: FrameConfig,
+    reload_best: bool = True,
 ) -> CompressState:
     """Full QAT fit on device; keeps the best-PSNR snapshot
-    (train_video_Compress.py:89-102)."""
+    (train_video_Compress.py:89-102).
+
+    reload_best=False skips the final best-snapshot reload so the fit can
+    be resumed — `fit_compress_chunked` chains shorter device executions
+    (relay-crash blast radius) and reloads once at the end; the chained
+    result is identical to one full fit."""
     from gsvc_tpu.models.represent import _use_rows_loss, make_rows_target
 
     step = make_train_step_quantize(cfg)
@@ -297,9 +303,32 @@ def fit_compress(
         return step(s, gt, rows_target), None
 
     final, _ = jax.lax.scan(body, state, None, length=cfg.iterations)
+    if not reload_best:
+        return final
     # load best (train_video_Compress.py:102)
     return dataclasses.replace(
         final, params=final.best_params, vq=final.best_vq
+    )
+
+
+def fit_compress_chunked(
+    state: CompressState, gt: jax.Array, cfg: FrameConfig, chunk: int
+) -> CompressState:
+    """fit_compress in device executions of at most `chunk` iterations
+    (host-synced between chunks). Identical trajectory and best-snapshot
+    semantics — the step counter lives in the state, and the best reload
+    happens once at the end."""
+    from gsvc_tpu.utils.profiling import _sync
+
+    done = 0
+    while done < cfg.iterations:
+        n = min(chunk, cfg.iterations - done)
+        cfg_chunk = dataclasses.replace(cfg, iterations=n)
+        state = fit_compress(state, gt, cfg_chunk, reload_best=False)
+        _sync(state.loss)
+        done += n
+    return dataclasses.replace(
+        state, params=state.best_params, vq=state.best_vq
     )
 
 

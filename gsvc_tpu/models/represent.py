@@ -601,6 +601,32 @@ def fit_frame(
     return FitResult(state=final, image=img)
 
 
+@partial(jax.jit, static_argnames=("cfg", "lambda_value"))
+def fit_frame_partial(
+    state: TrainState, gt: jax.Array, limit: jax.Array, cfg: FrameConfig,
+    lambda_value: float = 0.0,
+) -> TrainState:
+    """Resumable slice of `fit_frame`: run the SAME while_loop up to
+    iteration `limit` (traced, so one compilation serves every chunk) and
+    return the state. Chaining chunks to cfg.iterations is exactly
+    equivalent to one fit_frame call (same step function, same early-stop
+    state) — the driver uses it (--fit_chunk) to bound the length of a
+    single device execution on relay-fronted TPU backends where very long
+    executions occasionally kill the worker.
+    """
+    step = make_train_step(cfg, lambda_value)
+    rows_target = make_rows_target(gt, cfg) if _use_rows_loss(cfg) else None
+    lim = jnp.minimum(jnp.asarray(limit, jnp.int32), cfg.iterations)
+
+    def cond(s: TrainState):
+        return (s.it < lim) & (~s.stop)
+
+    def body(s: TrainState):
+        return step(s, gt, rows_target)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
 @partial(jax.jit, static_argnames=("cfg", "lambda_value", "trace_every"))
 def fit_frame_trace(
     state: TrainState, gt: jax.Array, cfg: FrameConfig,

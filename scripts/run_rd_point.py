@@ -122,7 +122,7 @@ def main():
     if not args.skip_represent:
         rc = represent_driver.main(
             common + ["--iterations", str(args.iterations),
-                      "--is_rm", "--is_ad"]
+                      "--is_rm", "--is_ad", "--fit_chunk", "2500"]
         )
         assert rc == 0
         print(f"represent done in {time.time()-t0:.0f}s", flush=True)
@@ -137,6 +137,7 @@ def main():
             "--iterations", str(args.comp_iterations),
             "--model_path", model_path,
             "--k_frames_dir", str(wd / "ck"),
+            "--fit_chunk", "2000",
         ]
     )
     assert rc == 0

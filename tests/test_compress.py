@@ -191,3 +191,38 @@ def test_fit_compress_delta_mode():
     bits, img = measure_bits(state, cfg)
     mse = float(jnp.mean((img - gt) ** 2))
     assert 10 * np.log10(1 / mse) > 20
+
+
+def test_fit_compress_chunked_equals_full():
+    """fit_compress_chunked must reproduce fit_compress exactly (step
+    counter rides the state; best snapshot reloaded once at the end)."""
+    import dataclasses
+
+    from gsvc_tpu.models.compress import (
+        fit_compress,
+        fit_compress_chunked,
+        init_compress_state,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 48
+    gmodel = {
+        "_xyz": rng.normal(0, 0.5, (n, 2)).astype(np.float32),
+        "_cholesky": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        "_features_dc": rng.uniform(0, 1, (n, 3)).astype(np.float32),
+    }
+    from gsvc_tpu.config import FrameConfig
+
+    cfg = FrameConfig(
+        H=48, W=48, num_points=n, max_num_points=n, iterations=10,
+        backend="binned",
+    )
+    gt = jnp.asarray(rng.uniform(0, 1, (48, 48, 3)), jnp.float32)
+    state = init_compress_state(jax.random.key(3), gmodel)
+    full = fit_compress(state, gt, cfg)
+    chunked = fit_compress_chunked(state, gt, cfg, chunk=4)
+    for a, b in zip(jax.tree.leaves(full.params), jax.tree.leaves(chunked.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(full.vq.embed), np.asarray(chunked.vq.embed)
+    )

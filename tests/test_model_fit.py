@@ -178,3 +178,31 @@ def test_fit_frame_trace_matches_fit():
         np.asarray(final.params.xyz), np.asarray(s.params.xyz),
         rtol=0, atol=1e-4,
     )
+
+
+def test_fit_frame_partial_chunks_equal_full_fit():
+    """Chaining fit_frame_partial chunks must reproduce fit_frame exactly
+    (same compiled step; the chunk boundary only pauses the while_loop)."""
+    from gsvc_tpu.models.represent import fit_frame_partial
+
+    H = W = 48
+    cfg = FrameConfig(
+        H=H, W=W, num_points=64, max_num_points=64, iterations=90,
+        backend="binned", isremoval=True, densification_interval=40,
+    )
+    gt = jnp.asarray(_target_image(H, W, seed=6))
+    state = init_train_state(jax.random.key(8), cfg)
+    full = fit_frame(state, gt, cfg)
+    s = state
+    for lo in range(0, 90, 40):
+        s = fit_frame_partial(s, gt, min(lo + 40, 90), cfg)
+    assert int(s.it) == int(full.state.it) == 90
+    np.testing.assert_array_equal(
+        np.asarray(s.params.xyz), np.asarray(full.state.params.xyz)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s.alive), np.asarray(full.state.alive)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s.loss), np.asarray(full.state.loss)
+    )
