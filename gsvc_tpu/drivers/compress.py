@@ -77,20 +77,43 @@ def parse_args(argv):
     # Bound single device executions to N iterations (relay-crash blast
     # radius; identical trajectory — models.compress.fit_compress_chunked)
     p.add_argument("--fit_chunk", type=int, default=0)
+    # Multi-host frame parallelism: compress frames are fully independent
+    # (delta buffers come from the representation checkpoint), so hosts
+    # take contiguous frame blocks and host 0 merges
+    # (parallel/multihost.py).
+    p.add_argument("--hosts", type=int, default=1)
+    p.add_argument("--host_id", type=int, default=-1)
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoints_quant")
     p.add_argument("--k_frames_dir", type=str, default="./checkpoints")
     return p.parse_args(argv)
 
 
 def main(argv):
+    import os
+
     args = parse_args(argv)
+    from gsvc_tpu.parallel import multihost
+
+    dist = multihost.initialize()
+    hosts = args.hosts if args.hosts > 1 else (
+        int(os.environ.get("GSVC_NUM_PROCS", "1"))
+    )
+    if args.host_id >= 0:
+        host_id = args.host_id
+    elif dist:
+        host_id = jax.process_index()
+    else:
+        host_id = int(os.environ.get("GSVC_PROC_ID", "0"))
+    multi = hosts > 1
+    suffix = f".host{host_id}" if multi else ""
+
     base = Path(args.checkpoint_dir)
     run_name = f"{args.model_name}_{args.iterations}_{args.num_points}"
     out_dir = base / args.savdir / args.data_name / run_name
     out_dir.mkdir(parents=True, exist_ok=True)
     model_dir = base / args.savdir_m / args.data_name / run_name
     model_dir.mkdir(parents=True, exist_ok=True)
-    logwriter = LogWriter(out_dir)
+    logwriter = LogWriter(out_dir, suffix=suffix)
 
     video_frames = process_yuv_video(
         args.dataset, args.width, args.height, limit=args.image_length
@@ -104,11 +127,18 @@ def main(argv):
     else:
         k_frames = [1]
 
+    my_frames = (
+        multihost.assign_frames(image_length, hosts)[host_id]
+        if multi else list(range(1, image_length + 1))
+    )
+    if multi:
+        print(f"host {host_id}/{hosts}: frames {my_frames}")
+
     psnrs, msims, bpps, t_train, t_eval, fpses = [], [], [], [], [], []
     out_state = {}
     img_list = []
-    for i in range(image_length):
-        frame_num = i + 1
+    for frame_num in my_frames:
+        i = frame_num - 1
         gt = jnp.asarray(video_frames[i].astype(np.float32) / 255.0)
         H, W = gt.shape[0], gt.shape[1]
         gmodel = gmodels[f"frame_{frame_num}"]
@@ -208,7 +238,20 @@ def main(argv):
             )
         )
 
-    np.savez(model_dir / "gmodels_state_dict.npz", **out_state)
+    np.savez(model_dir / f"gmodels_state_dict{suffix}.npz", **out_state)
+    if multi:
+        # workers signal + exit; host 0 awaits everyone and merges the
+        # quantized checkpoint + train logs into the sequential layout
+        multihost.barrier(
+            "compressed", out_dir, hosts, host_id,
+            wait_for=(range(hosts) if host_id == 0 else []),
+        )
+        if host_id == 0:
+            multihost.merge_compress_artifacts(
+                model_dir, out_dir, hosts, args.height, args.width
+            )
+            print("multi-host compress artifacts merged")
+        return 0
     logwriter.write(
         "Average: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, Bpp:{:.4f}, "
         "Training:{:.4f}s, Eval:{:.8f}s, FPS:{:.4f}".format(

@@ -104,9 +104,13 @@ def assign_gops(
 
 
 def barrier(tag: str, out_dir: Path, num_hosts: int, host_id: int,
-            timeout_s: float = 3600.0) -> None:
-    """All-host rendezvous. Uses jax.distributed collectives when the
-    runtime is initialized, else shared-filesystem markers."""
+            timeout_s: float = 3600.0, wait_for=None) -> None:
+    """Host rendezvous: signal this host's arrival, then wait for the
+    hosts in `wait_for` (default: all). Uses jax.distributed collectives
+    when the runtime is initialized (full barrier), else
+    shared-filesystem markers — where directional waits (e.g. workers
+    signal-and-exit, host 0 awaits everyone before merging) also let the
+    host programs run SEQUENTIALLY in any order without deadlock."""
     import jax
 
     if jax.process_count() > 1:
@@ -117,13 +121,30 @@ def barrier(tag: str, out_dir: Path, num_hosts: int, host_id: int,
     out_dir.mkdir(parents=True, exist_ok=True)
     mine = out_dir / f".barrier_{tag}.host{host_id}"
     mine.write_text("ok")
+    if wait_for is None:
+        wait_for = range(num_hosts)
     deadline = time.time() + timeout_s
-    want = [out_dir / f".barrier_{tag}.host{h}" for h in range(num_hosts)]
+    want = [out_dir / f".barrier_{tag}.host{h}" for h in wait_for]
     while not all(p.exists() for p in want):
         if time.time() > deadline:
             missing = [str(p) for p in want if not p.exists()]
             raise TimeoutError(f"barrier {tag}: missing {missing}")
         time.sleep(0.2)
+
+
+def assign_frames(num_frames: int, num_hosts: int) -> List[List[int]]:
+    """Balanced contiguous frame split for the COMPRESS stage, whose
+    frames are fully independent (P-frame `p_*` buffers come from the
+    representation checkpoint on the shared FS, not from the previous
+    compressed frame — train_video_Compress.py:51-72)."""
+    base = num_frames // num_hosts
+    extra = num_frames % num_hosts
+    out, start = [], 1
+    for h in range(num_hosts):
+        cnt = base + (1 if h < extra else 0)
+        out.append(list(range(start, start + cnt)))
+        start += cnt
+    return out
 
 
 _FRAME_LINE = re.compile(r"^Frame_(\d+):")
@@ -207,3 +228,60 @@ def merge_host_artifacts(
     with open(out_dir / "num_gaussian_points.txt", "w") as f:
         for fr, g in gn:
             f.write(f"frame_{fr}: {g}\n")
+
+
+def merge_compress_artifacts(
+    model_dir: Path, out_dir: Path, num_hosts: int, H: int, W: int
+) -> None:
+    """Union per-host COMPRESS artifact shards (quantized checkpoint,
+    per-frame bitstreams live unsharded, train.host{h}.txt lines) into
+    the sequential layout, with the recomputed compress Average line."""
+    merged: Dict[str, np.ndarray] = {}
+    for h in range(num_hosts):
+        p = model_dir / f"gmodels_state_dict.host{h}.npz"
+        if p.exists():
+            with np.load(p) as z:
+                for k in z.files:
+                    merged[k] = z[k]
+
+    def frame_no(key: str) -> int:
+        return int(key.split("/")[0].split("_")[1])
+
+    keys = sorted(merged.keys(), key=lambda k: (frame_no(k), k))
+    np.savez(model_dir / "gmodels_state_dict.npz",
+             **{k: merged[k] for k in keys})
+
+    lines: List[str] = []
+    for h in range(num_hosts):
+        p = out_dir / f"train.host{h}.txt"
+        if p.exists():
+            lines += [
+                ln for ln in p.read_text().splitlines()
+                if _FRAME_LINE.match(ln)
+            ]
+    lines.sort(key=lambda ln: int(_FRAME_LINE.match(ln).group(1)))
+
+    def grab(field: str) -> List[float]:
+        vals = []
+        for ln in lines:
+            m = re.search(rf"{field}:([0-9.eE+-]+)", ln)
+            if m:
+                vals.append(float(m.group(1)))
+        return vals
+
+    with open(out_dir / "train.txt", "w") as f:
+        for ln in lines:
+            f.write(ln + "\n")
+        psnr, mss, bpp = grab("PSNR"), grab("MS-SSIM"), grab("bpp")
+        tr, ev, fps = grab("Training"), grab("Eval"), grab("FPS")
+        if psnr:
+            f.write(
+                "Average: {}x{}, PSNR:{:.4f}, MS-SSIM:{:.4f}, Bpp:{:.4f}, "
+                "Training:{:.4f}s, Eval:{:.8f}s, FPS:{:.4f}\n".format(
+                    H, W, float(np.mean(psnr)), float(np.mean(mss)),
+                    float(np.mean(bpp)) if bpp else 0.0,
+                    float(np.mean(tr)) if tr else 0.0,
+                    float(np.mean(ev)) if ev else 0.0,
+                    float(np.mean(fps)) if fps else 0.0,
+                )
+            )

@@ -159,3 +159,61 @@ def test_two_process_gop_training_matches_sequential(tmp_path):
     mh_g = (tmp_path / "mh" / "result" / "mh" / run /
             "num_gaussian_points.txt").read_text()
     assert seq_g == mh_g
+
+
+@pytest.mark.slow
+def test_multihost_compress_matches_sequential(tmp_path):
+    """Compress-stage frame parallelism: hosts take disjoint frame blocks
+    (frames are fully independent — delta buffers come from the shared
+    representation checkpoint) and host 0's merge equals the sequential
+    run bit-for-bit. Hosts run sequentially IN-PROCESS here (worker
+    signals and exits; host 0 awaits markers), which the directional
+    barrier supports."""
+    from gsvc_tpu.drivers import compress as compress_driver
+    from gsvc_tpu.drivers import represent as represent_driver
+
+    yuv = _write_synth_yuv(tmp_path / "mh.yuv")
+    kdir = tmp_path / "ck" / "result" / "mh"
+    kdir.mkdir(parents=True)
+    (kdir / "K_frames.txt").write_text("1\n3\n")
+    assert represent_driver.main(_driver_argv(yuv, tmp_path / "ck")) == 0
+    ckpt = (tmp_path / "ck" / "models" / "mh" / "GaussianVideo_40_48" /
+            "gmodels_state_dict.npz")
+
+    def cargv(dst, extra=()):
+        return [
+            "-d", str(yuv), "--data_name", "mh",
+            "--width", "64", "--height", "48", "--image_length", "4",
+            "--num_points", "48", "--iterations", "20",
+            "--backend", "binned", "--model_path", str(ckpt),
+            "--checkpoint_dir", str(dst), "--k_frames_dir", str(tmp_path / "ck"),
+        ] + list(extra)
+
+    assert compress_driver.main(cargv(tmp_path / "cseq")) == 0
+    # worker first (signals + exits), then host 0 (awaits + merges)
+    assert compress_driver.main(
+        cargv(tmp_path / "cmh", ["--hosts", "2", "--host_id", "1"])
+    ) == 0
+    assert compress_driver.main(
+        cargv(tmp_path / "cmh", ["--hosts", "2", "--host_id", "0"])
+    ) == 0
+
+    run = "GaussianVideo_20_48"
+    seq = np.load(tmp_path / "cseq" / "models" / "mh" / run /
+                  "gmodels_state_dict.npz")
+    mh = np.load(tmp_path / "cmh" / "models" / "mh" / run /
+                 "gmodels_state_dict.npz")
+    assert sorted(seq.files) == sorted(mh.files)
+    for k in seq.files:
+        np.testing.assert_array_equal(seq[k], mh[k], err_msg=k)
+    seq_lines = [
+        ln.split(", Training")[0]
+        for ln in (tmp_path / "cseq" / "result" / "mh" / run / "train.txt")
+        .read_text().splitlines() if ln.startswith("Frame_")
+    ]
+    mh_lines = [
+        ln.split(", Training")[0]
+        for ln in (tmp_path / "cmh" / "result" / "mh" / run / "train.txt")
+        .read_text().splitlines() if ln.startswith("Frame_")
+    ]
+    assert seq_lines == mh_lines
