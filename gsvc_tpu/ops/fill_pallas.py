@@ -56,8 +56,8 @@ def _lane_scan_max(x, blk):
 
 def _fill_kernel(
     total_ref,  # [1] SMEM scalar prefetch: total kept intersections
-    seeds_ref,  # [1, R, BLK] VMEM block of scattered seeds (-1 = empty)
-    keys_ref,  # [1, 1, BLK] uint32 output: (tile << 16 | gauss) sort keys
+    seeds_ref,  # [R, BLK] VMEM block of scattered seeds (-1 = empty)
+    keys_ref,  # [1, BLK] uint32 output: (tile << 16 | gauss) sort keys
     carry,  # [8, 128] VMEM scratch: running max per payload row (col 0)
     *,
     blk: int,
@@ -72,7 +72,7 @@ def _fill_kernel(
     def _init():
         carry[...] = jnp.full_like(carry, -1)
 
-    x = seeds_ref[0]  # [rows, blk]
+    x = seeds_ref[...]  # [rows, blk]
     x = _lane_scan_max(x, blk)
     x = jnp.maximum(x, carry[0:rows, 0:1])
     carry[0:rows, 0:1] = x[:, blk - 1 : blk]
@@ -113,7 +113,7 @@ def _fill_kernel(
     tx = tx0 + (slot - q * bw)
     tile = jnp.where(valid, ty * tb_x + tx, num_tiles)
     gauss = jnp.where(valid, g_safe, 0xFFFF)
-    keys_ref[0] = (
+    keys_ref[...] = (
         tile.astype(jnp.uint32) << 16
     ) | gauss.astype(jnp.uint32)
 
@@ -140,10 +140,9 @@ def fill_decode_keys(
     if pad:
         seeds = jnp.pad(seeds, ((0, 0), (0, pad)), constant_values=-1)
     nb = seeds.shape[1] // BLK
-    # [nb, R, BLK] so the block's trailing dims (R, BLK) match the array
-    # (Mosaic block-shape rule); the transpose is a cheap minor-dim-
-    # preserving copy.
-    seeds3 = seeds.reshape(rows, nb, BLK).transpose(1, 0, 2)
+    # Blocks slice the LANE dim of the 2D array directly — the previous
+    # [nb, R, BLK] repack transposed the whole seed array through HBM
+    # (0.036 ms/step at I=98k, profiled via scripts/profile_xplane.py).
 
     kernel = functools.partial(
         _fill_kernel, blk=BLK, tb_x=tb_x, num_tiles=num_tiles, n=n,
@@ -153,24 +152,24 @@ def fill_decode_keys(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, rows, BLK), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((rows, BLK), lambda b, t: (0, b)),
         ],
-        out_specs=pl.BlockSpec((1, 1, BLK), lambda b, t: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, BLK), lambda b, t: (0, b)),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
     )
     keys = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 1, BLK), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((1, nb * BLK), jnp.uint32),
         interpret=INTERPRET,
-    )(total_kept.reshape(1), seeds3)
+    )(total_kept.reshape(1), seeds)
     return keys.reshape(nb * BLK)[:i_total]
 
 
 def _segsum_kernel(
-    vals_ref,  # [1, R, BLK] f32 values in segment-contiguous (slot) order
-    flags_ref,  # [1, 1, BLK] int32: 1 at each segment's FIRST slot
-    out_ref,  # [1, R, BLK] f32 inclusive segmented cumsum
+    vals_ref,  # [R, BLK] f32 values in segment-contiguous (slot) order
+    flags_ref,  # [1, BLK] int32: 1 at each segment's FIRST slot
+    out_ref,  # [R, BLK] f32 inclusive segmented cumsum
     carry,  # [16, 128] f32 scratch: running sum per row (col 0)
     *,
     blk: int,
@@ -182,9 +181,9 @@ def _segsum_kernel(
     def _init():
         carry[...] = jnp.zeros_like(carry)
 
-    s = vals_ref[0]  # [rows, blk]
+    s = vals_ref[...]  # [rows, blk]
     # int32 flags throughout: Mosaic's roll has no non-32-bit lowering
-    fb = jnp.where(flags_ref[0] != 0, jnp.int32(1), jnp.int32(0))  # [1, blk]
+    fb = jnp.where(flags_ref[...] != 0, jnp.int32(1), jnp.int32(0))  # [1, blk]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
     k = 1
     while k < blk:
@@ -198,7 +197,7 @@ def _segsum_kernel(
     # cross-block: lanes whose segment began before this block get the carry
     s = s + jnp.where(fb != 0, 0.0, carry[0:rows, 0:1])
     carry[0:rows, 0:1] = s[:, blk - 1 : blk]
-    out_ref[0] = s
+    out_ref[...] = s
 
 
 def segmented_cumsum(vals: jax.Array, flags: jax.Array) -> jax.Array:
@@ -218,33 +217,32 @@ def segmented_cumsum(vals: jax.Array, flags: jax.Array) -> jax.Array:
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
         flags = jnp.pad(flags, (0, pad), constant_values=1)
     nb = vals.shape[1] // BLK
-    vals3 = vals.reshape(rows, nb, BLK).transpose(1, 0, 2)
-    flags3 = flags.reshape(nb, 1, BLK)
-
+    # Blocks slice the LANE dim directly (no [nb, R, BLK] repack: the two
+    # transposes cost 0.08 ms/step at S=107k — scripts/profile_xplane.py).
     kernel = functools.partial(_segsum_kernel, blk=BLK, rows=rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, rows, BLK), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((rows, BLK), lambda b: (0, b)),
+            pl.BlockSpec((1, BLK), lambda b: (0, b)),
         ],
-        out_specs=pl.BlockSpec((1, rows, BLK), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((rows, BLK), lambda b: (0, b)),
         scratch_shapes=[pltpu.VMEM((16, 128), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, rows, BLK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, nb * BLK), jnp.float32),
         interpret=INTERPRET,
-    )(vals3, flags3)
-    return out.transpose(1, 0, 2).reshape(rows, nb * BLK)[:, :s_total]
+    )(vals, flags.reshape(1, -1))
+    return out[:, :s_total]
 
 
 def _rank_kernel(
-    keys_ref,  # [1, 1, BLK] sorted uint32 keys
-    tile_ref,  # [1, 1, BLK] int32 tile ids out
-    gauss_ref,  # [1, 1, BLK] int32 gauss ids out (cap applied)
+    keys_ref,  # [1, BLK] sorted uint32 keys
+    tile_ref,  # [1, BLK] int32 tile ids out
+    gauss_ref,  # [1, BLK] int32 gauss ids out (cap applied)
     carry,  # [8, 128] VMEM scratch: [prev last tile, prev run start]
     *,
     blk: int,
@@ -252,7 +250,7 @@ def _rank_kernel(
     n: int,
 ):
     b = pl.program_id(0)
-    keys = keys_ref[0]  # [1, blk]
+    keys = keys_ref[...]  # [1, blk]
     tile = (keys >> 16).astype(jnp.int32)
     gauss = (keys & 0xFFFF).astype(jnp.int32)
 
@@ -271,8 +269,8 @@ def _rank_kernel(
     run_start = _lane_scan_max(seed, blk)
     run_start = jnp.maximum(run_start, carry[1:2, 0:1])
     rank = lane - run_start
-    tile_ref[0] = tile
-    gauss_ref[0] = jnp.where((rank < cap) & (gauss != 0xFFFF), gauss, n)
+    tile_ref[...] = tile
+    gauss_ref[...] = jnp.where((rank < cap) & (gauss != 0xFFFF), gauss, n)
     carry[0:1, 0:1] = tile[:, blk - 1 : blk]
     carry[1:2, 0:1] = run_start[:, blk - 1 : blk]
 
@@ -290,16 +288,16 @@ def rank_cap_decode(
             sorted_keys, (0, pad), constant_values=jnp.uint32(0xFFFFFFFF)
         )
     nb = sorted_keys.shape[0] // BLK
-    keys2 = sorted_keys.reshape(nb, 1, BLK)
+    keys2 = sorted_keys.reshape(1, nb * BLK)
 
     kernel = functools.partial(_rank_kernel, blk=BLK, cap=cap, n=n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0))],
+        in_specs=[pl.BlockSpec((1, BLK), lambda b: (0, b))],
         out_specs=[
-            pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, BLK), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, BLK), lambda b: (0, b)),
+            pl.BlockSpec((1, BLK), lambda b: (0, b)),
         ],
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
     )
@@ -307,8 +305,8 @@ def rank_cap_decode(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nb, 1, BLK), jnp.int32),
-            jax.ShapeDtypeStruct((nb, 1, BLK), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb * BLK), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb * BLK), jnp.int32),
         ],
         interpret=INTERPRET,
     )(keys2)

@@ -161,15 +161,15 @@ def rasterize_gaussians_sum(
             raise ValueError(f"unknown backend {backend!r}")
 
     if layout == "rows":
-        # background per tile-row block row (t, c) is background[c]
+        # background per tile-row block row (t, c) is background[c].
+        # Arithmetic select, NOT lax.cond: a conditional over the [24480,
+        # 256] rows buffer materializes a 0.15 ms identity copy per train
+        # step (profiled via scripts/profile_xplane.py); the scalar-flag
+        # blend fuses into the consumer's elementwise pass instead.
         rowc = jnp.arange(img.shape[0], dtype=jnp.int32) % 3
         bg_rows = background[rowc][:, None].astype(img.dtype)
-        img = jax.lax.cond(
-            total < 1,
-            lambda im: jnp.broadcast_to(bg_rows, im.shape),
-            lambda im: im,
-            img,
-        )
+        live = (total >= 1).astype(img.dtype)
+        img = img * live + bg_rows * (1.0 - live)
         if return_alpha:
             raise ValueError("return_alpha unsupported for layout='rows'")
         return img

@@ -131,14 +131,19 @@ def _pack_lanes(
     gaussian, i.e. a no-op (see _reduce_lane_grads).
     """
     ids, tiles = binned.sorted_gauss_ids, binned.sorted_tile_ids
+    # ONE [N, 11] concat + transpose (not per-param .T): transposing the
+    # individual [N, 2/3] parameters made XLA flip the layout of the
+    # train loop's carried params/optimizer state to amortize it —
+    # ~0.04 ms async layout copies per param per step (profiled,
+    # scripts/profile_xplane.py). One small [N, 11] transpose instead.
     cat_pm = jnp.concatenate(
         [
-            xys.T, conics.T, opacity.reshape(1, -1), colors[:, :3].T,
-            binned.bbox_pack.reshape(1, -1).astype(jnp.float32),
-            binned.gauss_slot_start[:-1].reshape(1, -1).astype(jnp.float32),
+            xys, conics, opacity.reshape(-1, 1), colors[:, :3],
+            binned.bbox_pack.reshape(-1, 1).astype(jnp.float32),
+            binned.gauss_slot_start[:-1].reshape(-1, 1).astype(jnp.float32),
         ],
-        axis=0,
-    )  # [11, N] param-major (small: transposes of [N, <=3] arrays)
+        axis=1,
+    ).T  # [11, N] param-major
     cat_pm = jnp.pad(cat_pm, ((0, 0), (0, 1)))  # zero column at index N
     g = cat_pm[:, ids]  # [11, S] — THE gather (minor-axis indexed)
     tf = tiles.astype(jnp.float32).reshape(1, -1)
