@@ -39,7 +39,18 @@ def main():
         help="intersection-budget headroom over the measured count "
              "(0 = use the static default_max_intersects heuristic)",
     )
+    ap.add_argument(
+        "--color-bf16", action="store_true",
+        help="fast color mode: single bf16 color/grad matmuls (~2e-3 "
+             "output delta, the reference's --use_fast_math class of "
+             "tradeoff)",
+    )
     args = ap.parse_args()
+
+    if args.color_bf16:
+        import gsvc_tpu.ops.rasterize_pallas as _rp
+
+        _rp.COLOR_BF16 = True
 
     import jax
     import jax.numpy as jnp

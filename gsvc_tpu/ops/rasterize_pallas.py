@@ -210,6 +210,14 @@ def _splat_features(d):
 # saves ~0.2 ms/frame at 1080p). False = exact f32 (slow, for debugging).
 SPLIT_MM = True
 
+# Fast color mode: single bf16 products for the color/grad matmuls
+# (k=CHUNK instead of 3*CHUNK), ~2e-3 absolute output delta — the same
+# class of tradeoff as the reference's --use_fast_math build
+# (gsplat/setup.py:76). Off by default (the f32-split path is what the
+# parity tests pin); enable for throughput-first serving via
+# `bench.py --color-bf16` or by setting this flag before tracing.
+COLOR_BF16 = False
+
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
@@ -259,6 +267,13 @@ def _dot_split(a, b, dims):
     (~2^-16 relative), one 3x-contraction bf16 dot."""
     if not SPLIT_MM:
         return _dot(a, b, dims)
+    if COLOR_BF16:
+        (ca,), (cb,) = dims
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+            dimension_numbers=(((ca,), (cb,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     (ca,), (cb,) = dims
     ah, al = _bf16_split2(a)
     bh, bl = _bf16_split2(b)
