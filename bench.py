@@ -126,6 +126,23 @@ def main():
     )
     fps = 1.0 / dt
 
+    # Fast-color-mode fps (single bf16 color matmuls, ~2e-3 output delta)
+    # unless already benching that mode: the reference's 1500 fps headline
+    # is itself a --use_fast_math build (gsplat/setup.py:76), so this is
+    # the apples-to-apples companion number to the full-precision one.
+    import gsvc_tpu.ops.rasterize_pallas as _rp
+
+    fps_fast = None
+    if args.backend == "pallas" and not _rp.COLOR_BF16:
+        _rp.COLOR_BF16 = True
+        try:
+            dt_fast = device_loop_time(
+                render_chained, means, reps=args.iters, outer=args.outer
+            )
+            fps_fast = 1.0 / dt_fast
+        finally:
+            _rp.COLOR_BF16 = False
+
     # full training step (fwd + bwd + Adan), chained naturally via params.
     # The loss runs in the rasterizer's native tile-row layout with a
     # pre-tiled target, exactly like the model's L2 train path
@@ -175,6 +192,9 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps/chip",
                 "vs_baseline": round(fps / 1500.0, 4),
+                # companion number at the reference's own fast-math
+                # precision class (COLOR_BF16; ~2e-3 output delta)
+                "fast_color_fps": round(fps_fast, 2) if fps_fast else None,
                 "train_step_ms": round(dt_train * 1e3, 3),
                 "train_iters_per_s": round(1.0 / dt_train, 2),
                 "num_points": n,
