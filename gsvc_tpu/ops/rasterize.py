@@ -176,13 +176,11 @@ def rasterize_gaussians_sum(
 
     if layout == "chw":
         img = jax.lax.optimization_barrier(img)
-        img = jax.lax.cond(
-            total < 1,
-            lambda im: jnp.broadcast_to(
-                background[:, None, None].astype(im.dtype), im.shape
-            ),
-            lambda im: im,
-            img,
+        # arithmetic select (see the rows branch): a lax.cond over the
+        # [3, H, W] image costs a ~0.08 ms identity copy per call
+        live = (total >= 1).astype(img.dtype)
+        img = img * live + background[:, None, None].astype(img.dtype) * (
+            1.0 - live
         )
         if return_alpha:
             return img, jnp.zeros(img.shape[1:], img.dtype)
