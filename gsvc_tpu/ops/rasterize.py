@@ -193,15 +193,14 @@ def rasterize_gaussians_sum(
     # shields the transpose's backward the same way.
     img = jax.lax.optimization_barrier(img)
 
-    # zero-intersect fast path (rasterize_sum.py:121-129): a lax.cond so the
-    # common case pays a branch, not a whole-image select pass
-    img = jax.lax.cond(
-        total < 1,
-        lambda im: jnp.broadcast_to(
-            background[None, None, :].astype(im.dtype), im.shape
-        ),
-        lambda im: im,
-        img,
+    # zero-intersect fast path (rasterize_sum.py:121-129), as an
+    # arithmetic select: a lax.cond over the whole image materializes an
+    # identity copy through the conditional (~0.08 ms at 1080p, profiled
+    # on the planar path); the scalar-flag blend fuses into the caller's
+    # clip/loss instead.
+    live = (total >= 1).astype(img.dtype)
+    img = img * live + background[None, None, :].astype(img.dtype) * (
+        1.0 - live
     )
     if return_alpha:
         return img, jnp.zeros(img.shape[:2], img.dtype)
