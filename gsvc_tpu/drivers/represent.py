@@ -402,6 +402,8 @@ def main(argv):
     out_dir.mkdir(parents=True, exist_ok=True)
     model_dir = base / args.savdir_m / args.data_name / run_name
     model_dir.mkdir(parents=True, exist_ok=True)
+    if multi:
+        multihost.clear_stale_markers(out_dir, host_id)
     logwriter = LogWriter(out_dir, suffix=suffix)
 
     video_frames = process_yuv_video(

@@ -240,7 +240,18 @@ def make_train_step_quantize(cfg: FrameConfig, shard=None):
             )
             denom = cfg.H * cfg.W * 3
             if rows_target is None:
-                recon = jnp.sum((img - gt) ** 2) / denom
+                diff = img - gt
+                if tile_rows is not None:
+                    from gsvc_tpu.models.represent import shard_valid_h
+
+                    valid_h = shard_valid_h(cfg, shard, tile_rows[0])
+                    if valid_h is not None:
+                        # ragged-height shard: mask global padding rows
+                        ridx = jax.lax.broadcasted_iota(
+                            jnp.int32, (diff.shape[0], 1, 1), 0
+                        )
+                        diff = jnp.where(ridx < valid_h, diff, 0.0)
+                recon = jnp.sum(diff * diff) / denom
             else:
                 gt_rows, mask = rows_target
                 diff = (img - gt_rows) * mask

@@ -227,18 +227,26 @@ def _use_rows_loss(cfg: FrameConfig) -> bool:
     return False
 
 
-def make_rows_target(gt: jax.Array, cfg: FrameConfig):
+def make_rows_target(gt: jax.Array, cfg: FrameConfig, valid_h=None):
     """Pre-tile the [h, W, 3] target (and the valid-pixel mask) into the
     layout='rows' block layout, once per frame fit. `gt` may be a tile-row
     SHARD of the frame (h = a whole number of tile rows) — the tiling is
-    per-row, so shard tiling equals the matching slice of the full tiling."""
+    per-row, so shard tiling equals the matching slice of the full tiling.
+
+    valid_h (traced ok): number of VALID pixel rows at the top of `gt` —
+    rows at or past it are masked out of the loss. Used by ragged-height
+    sharding (parallel/sharded.py), where a shard's gt slice can contain
+    global padding rows beyond the real image; <= 0 masks the whole shard.
+    Default (None) masks nothing beyond image_to_rows' own tile padding."""
     from gsvc_tpu.ops.rasterize import image_to_rows
 
     h = gt.shape[0]
     gt_rows = image_to_rows(gt, h, cfg.W, cfg.block_h, cfg.block_w)
-    mask = image_to_rows(
-        jnp.ones_like(gt), h, cfg.W, cfg.block_h, cfg.block_w
-    )
+    ones = jnp.ones_like(gt)
+    if valid_h is not None:
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (h, 1, 1), 0)
+        ones = jnp.where(ridx < valid_h, ones, 0.0)
+    mask = image_to_rows(ones, h, cfg.W, cfg.block_h, cfg.block_w)
     return gt_rows, mask
 
 
@@ -262,17 +270,40 @@ def render_frame_rows(
     return jnp.clip(rows, 0.0, 1.0)
 
 
+def shard_rows_per(cfg: FrameConfig, num_shards: int) -> int:
+    """Tile rows per device: ceil so every shard is equal-sized. When
+    num_shards doesn't divide the grid's row count (e.g. 68 rows at
+    1920x1080 over 8 chips), the last device's span extends past the real
+    grid — the rasterizer renders those rows empty and the loss masks
+    them (see make_rows_target / _shard_row_mask)."""
+    tb_y = cfg.tile_bounds[1]
+    if num_shards > tb_y:
+        raise ValueError(
+            f"{num_shards} tile shards > {tb_y} tile rows at H={cfg.H}"
+        )
+    return -(-tb_y // num_shards)
+
+
+def shard_padded_height(cfg: FrameConfig, num_shards: int) -> int:
+    """Global pixel-row count the sharded gt must be zero-padded to so it
+    splits evenly into whole tile rows per device."""
+    return shard_rows_per(cfg, num_shards) * num_shards * cfg.block_h
+
+
 def _shard_tile_rows(cfg: FrameConfig, shard: TileShard):
     """(row0, rows_per_shard) of this device's tile-row span."""
-    tb_y = cfg.tile_bounds[1]
-    if tb_y % shard.num_shards != 0 or cfg.H % cfg.block_h != 0:
-        raise ValueError(
-            f"H={cfg.H} must split into whole tile rows per shard "
-            f"(tile rows {tb_y}, shards {shard.num_shards})"
-        )
-    rows_per = tb_y // shard.num_shards
+    rows_per = shard_rows_per(cfg, shard.num_shards)
     row0 = jax.lax.axis_index(shard.axis_name) * rows_per
     return row0, rows_per
+
+
+def shard_valid_h(cfg: FrameConfig, shard: TileShard, row0):
+    """Valid pixel rows of this device's gt slice (traced), or None when
+    the shard grid statically covers exactly cfg.H (no masking needed —
+    keeps the 16-divisible configs' codegen unchanged)."""
+    if shard_padded_height(cfg, shard.num_shards) == cfg.H:
+        return None
+    return cfg.H - row0 * cfg.block_h
 
 
 def _loss_and_psnr(
@@ -313,6 +344,13 @@ def _loss_and_psnr(
     img = render_frame(params, alive, cfg, tile_rows=tile_rows)
     if shard is not None:
         diff = img - gt
+        valid_h = shard_valid_h(cfg, shard, tile_rows[0])
+        if valid_h is not None:
+            # ragged-height shard: zero the global padding rows (the render
+            # holds real splat content past cfg.H inside the last partial
+            # tile row; gt is zero there)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (img.shape[0], 1, 1), 0)
+            diff = jnp.where(ridx < valid_h, diff, 0.0)
         sq = jnp.sum(diff * diff)
         loss = (sq if cfg.loss_type == "L2" else jnp.sum(jnp.abs(diff)))
         return loss / denom, (sq, img)
@@ -653,9 +691,11 @@ def fit_frame_trace(
         return s, img
 
     def chunk(s: TrainState, _):
-        # one traced image per `trace_every` steps: keep the render of the
-        # chunk's FIRST step (the image at iterations k*trace_every + 1
-        # pre-update == the reference's return at that train_iter call)
+        # one traced image per `trace_every` steps: keep the chunk's LAST
+        # step's pre-update render (iteration (k+1)*trace_every, as the
+        # docstring specifies — imgs[i] is the render BEFORE step i+1's
+        # update, so imgs[trace_every-1] is the state after trace_every-1
+        # updates, matching the reference's return at that train_iter call)
         s, imgs = jax.lax.scan(body, s, None, length=trace_every)
         return s, imgs[trace_every - 1]
 

@@ -69,10 +69,22 @@ def rasterize_binned(
 
     # Per-(tile, slot) gaussian ids; dead slots point at a zero row (index n).
     k_range = jnp.arange(cap, dtype=jnp.int32)
-    def _local(a):
-        return jax.lax.dynamic_slice_in_dim(a, tile0, num_tiles)
-    start = jnp.pad(_local(binned.tile_bin_start), (0, padded_tiles - num_tiles))
-    counts = jnp.pad(_local(binned.tile_counts), (0, padded_tiles - num_tiles))
+    if tile_rows is None:
+        start = binned.tile_bin_start
+        counts = binned.tile_counts
+    else:
+        # Explicit gather, NOT dynamic_slice: a ragged-height shard's span
+        # may extend past the real grid (row count padded to a multiple of
+        # the shard count), and dynamic_slice would clamp by SHIFTING the
+        # window — rendering the wrong tiles' content. Out-of-grid tiles
+        # get zero counts instead (empty -> zero output).
+        tl = tile0 + jnp.arange(num_tiles, dtype=jnp.int32)
+        in_grid = tl < tb_x * tb_y
+        tl_c = jnp.minimum(tl, tb_x * tb_y - 1)
+        start = jnp.where(in_grid, binned.tile_bin_start[tl_c], 0)
+        counts = jnp.where(in_grid, binned.tile_counts[tl_c], 0)
+    start = jnp.pad(start, (0, padded_tiles - num_tiles))
+    counts = jnp.pad(counts, (0, padded_tiles - num_tiles))
     idx_tk = jnp.minimum(
         start[:, None] + k_range[None, :], binned.sorted_gauss_ids.shape[0] - 1
     )

@@ -96,6 +96,20 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
+def _rls_for_span(row_lane_start: jax.Array, partial_shard: bool) -> jax.Array:
+    """row_lane_start for the kernels' scalar prefetch.
+
+    A partial tile-row shard of a RAGGED-height image may span past the
+    real grid (parallel/sharded.py pads the sharded row count to a
+    multiple of the shard count; rows >= tb_y hold no splats). The kernels
+    clamp their row index to the last rls interval; edge-padding by one
+    entry makes that interval zero-width, so clamped rows do zero chunk
+    DMAs and write a zero block."""
+    if not partial_shard:
+        return row_lane_start
+    return jnp.pad(row_lane_start, (0, 1), mode="edge")
+
+
 def _pack_lanes(
     binned: BinnedSplats,
     xys: jax.Array,
@@ -121,16 +135,22 @@ def _pack_lanes(
     transpose) ran 3x slower (1.25 ms): minor-dim slivers and the
     16-wide-minor transpose are far off HBM bandwidth on TPU.
 
-    Beyond-cap, row-pad, and tail lanes must contribute nothing: the
-    gather indexes with the CAPPED ids (`sorted_gauss_ids`, sentinel N for
-    all three), fetching the zero column — alpha = 0 falls below the 1/255
-    cutoff, which gates both passes exactly like the reference kernel's
-    first-256-per-tile batch (forward.cu:613). Capped lanes' rows 12-13
-    are then zero, which routes their (exactly zero) backward lane grads
-    to a bogus-but-in-range expansion slot — summing zeros into some real
-    gaussian, i.e. a no-op (see _reduce_lane_grads).
+    Beyond-cap, row-pad, and tail lanes must contribute nothing. On the
+    fast key path the gather indexes with the RAW gaussian ids
+    (`sorted_keys & 0xFFFF`) and zeroes beyond-cap lanes' OPACITY instead:
+    alpha = 0 then falls below the 1/255 cutoff, which gates both passes
+    exactly like the reference kernel's first-256-per-tile batch
+    (forward.cu:613), while rows 12-13 keep the lane's REAL bbox/slot data
+    — _reduce_lane_grads needs every raw-real lane (capped included) to
+    occupy its own expansion slot so real slots stay unique AND DENSE
+    (capped lanes summing exact zeros into their gaussian is a no-op;
+    routing them to in-range bogus slots corrupts the permutation
+    inversion, and sentinel-routing them leaves holes that shift every
+    later slot). Without raw keys (slow path) the capped ids (sentinel N)
+    fetch the zero column as before — segment_sum doesn't care.
     """
     ids, tiles = binned.sorted_gauss_ids, binned.sorted_tile_ids
+    n = xys.shape[0]
     # ONE [N, 11] concat + transpose (not per-param .T): transposing the
     # individual [N, 2/3] parameters made XLA flip the layout of the
     # train loop's carried params/optimizer state to amortize it —
@@ -145,13 +165,23 @@ def _pack_lanes(
         axis=1,
     ).T  # [11, N] param-major
     cat_pm = jnp.pad(cat_pm, ((0, 0), (0, 1)))  # zero column at index N
-    g = cat_pm[:, ids]  # [11, S] — THE gather (minor-axis indexed)
+    if binned.sorted_keys is not None:
+        raw = (binned.sorted_keys & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        gidx = jnp.minimum(raw, n)  # 0xFFFF sentinels -> zero column
+        g = cat_pm[:, gidx]  # [11, S] — THE gather (minor-axis indexed)
+        capped = (ids != gidx).reshape(1, -1)  # rank_cap_decode sentinels
+        opac = jnp.where(capped, 0.0, g[5:6])
+    else:
+        g = cat_pm[:, ids]
+        opac = g[5:6]
     tf = tiles.astype(jnp.float32).reshape(1, -1)
     ty = jnp.floor((tf + 0.5) / float(tb_x))  # exact: tile < 2^16 (binning)
     tx = tf - ty * float(tb_x)
     return jnp.concatenate(
         [
-            g[:9],
+            g[:5],
+            opac,
+            g[6:9],
             tx * block_w,
             ty * block_h,
             tf,
@@ -339,7 +369,12 @@ def _forward_kernel(
     *, tb_x: int, block_w: int, block_h: int,
 ):
     s = pl.program_id(0)
-    r = row0_ref[0] + s
+    # clamp to the last rls interval: a partial tile-row shard of a
+    # ragged-height image may span PAST the real grid (its row count is
+    # padded to a multiple of the shard count — parallel/sharded.py); the
+    # entry edge-pads rls by one entry, so clamped out-of-grid rows read a
+    # zero-width interval (0 chunks) and emit a zero block.
+    r = jnp.minimum(row0_ref[0] + s, rls_ref.shape[0] - 2)
     base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
     n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
     tile0 = r * tb_x
@@ -439,7 +474,12 @@ def _forward_kernel_chw(
     relayout now happens per ROW in VMEM instead of per image in HBM.
     """
     s = pl.program_id(0)
-    r = row0_ref[0] + s
+    # clamp to the last rls interval: a partial tile-row shard of a
+    # ragged-height image may span PAST the real grid (its row count is
+    # padded to a multiple of the shard count — parallel/sharded.py); the
+    # entry edge-pads rls by one entry, so clamped out-of-grid rows read a
+    # zero-width interval (0 chunks) and emit a zero block.
+    r = jnp.minimum(row0_ref[0] + s, rls_ref.shape[0] - 2)
     base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
     n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
     tile0 = r * tb_x
@@ -544,7 +584,12 @@ def _backward_kernel(
     *, tb_x: int, block_w: int, block_h: int,
 ):
     s = pl.program_id(0)
-    r = row0_ref[0] + s
+    # clamp to the last rls interval: a partial tile-row shard of a
+    # ragged-height image may span PAST the real grid (its row count is
+    # padded to a multiple of the shard count — parallel/sharded.py); the
+    # entry edge-pads rls by one entry, so clamped out-of-grid rows read a
+    # zero-width interval (0 chunks) and emit a zero block.
+    r = jnp.minimum(row0_ref[0] + s, rls_ref.shape[0] - 2)
     base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
     n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
     tile0 = r * tb_x
@@ -781,6 +826,7 @@ def _forward_impl(
     data = jax.lax.optimization_barrier(data)
     partial_shard = num_rows != int(tile_bounds[1])
     out_h = num_rows * block_h if partial_shard else img_height
+    rls = _rls_for_span(binned.row_lane_start, partial_shard)
 
     if layout == "chw":
         # direct planar output from the kernel — no XLA untile transpose
@@ -827,7 +873,7 @@ def _forward_impl(
             grid_spec=grid_spec,
             out_shape=out_shape,
             interpret=INTERPRET,
-        )(row0.reshape(1), binned.row_lane_start, data)
+        )(row0.reshape(1), rls, data)
         img = out.reshape(3, num_rows * block_h, tb_x * block_w)[
             :, :out_h, :img_width
         ]
@@ -853,7 +899,7 @@ def _forward_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_rows * r_out, pix), jnp.float32),
         interpret=INTERPRET,
-    )(row0.reshape(1), binned.row_lane_start, data)
+    )(row0.reshape(1), rls, data)
 
     if layout == "rows":
         return out, data
@@ -882,6 +928,9 @@ def _rasterize_bwd(
     tb_x = int(tile_bounds[0])
     pix = block_w * block_h
     r_out = _round8(3 * tb_x)
+    rls = _rls_for_span(
+        binned.row_lane_start, num_rows != int(tile_bounds[1])
+    )
     if layout == "rows":
         vrows = g  # already in the kernel's native tile-row block layout
     elif layout == "chw":
@@ -916,7 +965,7 @@ def _rasterize_bwd(
         out_shape=jax.ShapeDtypeStruct(data.shape, jnp.float32),
         interpret=INTERPRET,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(row0.reshape(1), binned.row_lane_start, data, vrows)
+    )(row0.reshape(1), rls, data, vrows)
 
     v_xys, v_conics, v_colors, v_opacity = _reduce_lane_grads(
         vdata, binned, n, row0, num_rows, data, tb_x
@@ -994,6 +1043,14 @@ def _reduce_lane_grads(vdata, binned, n, row0, num_rows, data=None, tb_x=None):
     key = binned.sorted_keys  # [S] u32 (tile << 16 | gauss), pre-cap
     g = (key & jnp.uint32(0xFFFF)).astype(jnp.int32)
     tile = (key >> 16).astype(jnp.int32)
+    # Raw-key realness is REQUIRED here (not the capped ids): beyond-cap
+    # lanes must occupy their real expansion slot — with exactly-zero
+    # grads, since _pack_lanes zeroed their opacity and alpha = 0 fell
+    # below the 1/255 cutoff in both passes — or real slots stop being
+    # DENSE in [0, total_kept) and every slot after the first hole shifts,
+    # corrupting the sorted-position == slot permutation inversion. (The
+    # matching invariant: _pack_lanes gathers rows 12-13 with the RAW ids
+    # so capped lanes carry their real gaussian's bbox/slot data.)
     real = g < n
     bbox = data[12, :].astype(jnp.int32)  # (bw << 16 | ty0 << 8 | tx0)
     gss = data[13, :].astype(jnp.int32)

@@ -103,6 +103,33 @@ def assign_gops(
     return buckets
 
 
+def _run_nonce() -> str:
+    """Shared per-run namespace for barrier markers: GSVC_RUN_NONCE (set by
+    the launcher) or SLURM_JOB_ID (identical on every node of a job). Empty
+    when neither exists — `clear_stale_markers` then guards against reuse
+    of an out_dir across runs."""
+    import os
+
+    return os.environ.get("GSVC_RUN_NONCE") or os.environ.get(
+        "SLURM_JOB_ID", ""
+    )
+
+
+def clear_stale_markers(out_dir: Path, host_id: int) -> None:
+    """Delete THIS host's leftover barrier markers from previous runs in
+    the same out_dir. Each host deletes only its own markers, and does so
+    BEFORE its first barrier of the run, so a fast peer's fresh markers
+    are never touched — without this, a rerun would sail through the
+    file-marker rendezvous on stale files and host 0 could merge partial
+    shards."""
+    if out_dir.is_dir():
+        for p in out_dir.glob(f".barrier_*.host{host_id}"):
+            try:
+                p.unlink()
+            except OSError:
+                pass
+
+
 def barrier(tag: str, out_dir: Path, num_hosts: int, host_id: int,
             timeout_s: float = 3600.0, wait_for=None) -> None:
     """Host rendezvous: signal this host's arrival, then wait for the
@@ -110,7 +137,11 @@ def barrier(tag: str, out_dir: Path, num_hosts: int, host_id: int,
     when the runtime is initialized (full barrier), else
     shared-filesystem markers — where directional waits (e.g. workers
     signal-and-exit, host 0 awaits everyone before merging) also let the
-    host programs run SEQUENTIALLY in any order without deadlock."""
+    host programs run SEQUENTIALLY in any order without deadlock.
+    Markers are namespaced by the launch's run nonce (GSVC_RUN_NONCE /
+    SLURM_JOB_ID) so reruns in the same out_dir never rendezvous on a
+    previous run's files; hosts additionally self-clean their stale
+    markers at startup (`clear_stale_markers`)."""
     import jax
 
     if jax.process_count() > 1:
@@ -119,12 +150,13 @@ def barrier(tag: str, out_dir: Path, num_hosts: int, host_id: int,
         multihost_utils.sync_global_devices(f"gsvc:{tag}")
         return
     out_dir.mkdir(parents=True, exist_ok=True)
-    mine = out_dir / f".barrier_{tag}.host{host_id}"
-    mine.write_text("ok")
+    nonce = _run_nonce()
+    stem = f".barrier_{tag}.{nonce}" if nonce else f".barrier_{tag}"
+    (out_dir / f"{stem}.host{host_id}").write_text("ok")
     if wait_for is None:
         wait_for = range(num_hosts)
     deadline = time.time() + timeout_s
-    want = [out_dir / f".barrier_{tag}.host{h}" for h in wait_for]
+    want = [out_dir / f"{stem}.host{h}" for h in wait_for]
     while not all(p.exists() for p in want):
         if time.time() > deadline:
             missing = [str(p) for p in want if not p.exists()]

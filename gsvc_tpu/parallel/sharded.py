@@ -49,6 +49,9 @@ from gsvc_tpu.models.represent import (
     make_rows_target,
     make_train_step,
     render_frame,
+    shard_padded_height,
+    shard_rows_per,
+    shard_valid_h,
 )
 
 
@@ -69,13 +72,19 @@ def tile_mesh(n_tile: int, devices=None) -> Mesh:
     return Mesh(devices[:n_tile], axis_names=("tile",))
 
 
-def _check_shardable(cfg: FrameConfig, n_tile: int) -> None:
-    tb_y = cfg.tile_bounds[1]
-    if cfg.H % cfg.block_h != 0 or tb_y % n_tile != 0:
-        raise ValueError(
-            f"H={cfg.H} must split into whole tile rows per device "
-            f"({tb_y} tile rows over {n_tile} shards)"
-        )
+def _pad_gt_rows(gt: jax.Array, cfg: FrameConfig, n_tile: int) -> jax.Array:
+    """Zero-pad the pixel-row axis (second-to-last of [..., H, W, 3]) to
+    `shard_padded_height` so the global gt splits into equal whole-tile-row
+    shards at ANY resolution (e.g. 1080 -> 1088 rows for 2/4 shards, 1152
+    for 8). The padding rows render empty and are masked out of the loss
+    (shard_valid_h / make_rows_target), so results match the single-device
+    fit, which slices img[: cfg.H]."""
+    h_pad = shard_padded_height(cfg, n_tile)
+    if gt.shape[-3] == h_pad:
+        return gt
+    pad = [(0, 0)] * gt.ndim
+    pad[-3] = (0, h_pad - gt.shape[-3])
+    return jnp.pad(gt, pad)
 
 
 def make_sharded_train_step(
@@ -95,15 +104,19 @@ def make_sharded_train_step(
     Returns the updated batched TrainState (loss/psnr/it live inside it).
     """
     n_tile = mesh.shape["tile"]
-    _check_shardable(cfg, n_tile)
+    rows_per = shard_rows_per(cfg, n_tile)
     shard = TileShard("tile", n_tile)
     step = make_train_step(cfg, lambda_value, shard=shard)
     use_rows = _use_rows_loss(cfg)
 
     def per_device(states_b: TrainState, gt_b: jax.Array) -> TrainState:
+        row0 = jax.lax.axis_index("tile") * rows_per
+        valid_h = shard_valid_h(cfg, shard, row0)
+
         def one_frame(state: TrainState, gt_shard: jax.Array) -> TrainState:
             rows_target = (
-                make_rows_target(gt_shard, cfg) if use_rows else None
+                make_rows_target(gt_shard, cfg, valid_h) if use_rows
+                else None
             )
             return step(state, gt_shard, rows_target)
 
@@ -116,7 +129,11 @@ def make_sharded_train_step(
         out_specs=P("frame"),
         check_vma=False,
     )
-    return jax.jit(sharded)
+
+    def padded_step(states_b: TrainState, gt_b: jax.Array) -> TrainState:
+        return sharded(states_b, _pad_gt_rows(gt_b, cfg, n_tile))
+
+    return jax.jit(padded_step)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "lambda_value"))
@@ -134,14 +151,17 @@ def fit_frame_sharded(
     from per-device shards).
     """
     n_tile = mesh.shape["tile"]
-    _check_shardable(cfg, n_tile)
+    rows_per = shard_rows_per(cfg, n_tile)
     shard = TileShard("tile", n_tile)
     step = make_train_step(cfg, lambda_value, shard=shard)
     use_rows = _use_rows_loss(cfg)
-    rows_per = cfg.tile_bounds[1] // n_tile
 
     def local_fit(state: TrainState, gt_shard: jax.Array):
-        rows_target = make_rows_target(gt_shard, cfg) if use_rows else None
+        row0 = jax.lax.axis_index("tile") * rows_per
+        valid_h = shard_valid_h(cfg, shard, row0)
+        rows_target = (
+            make_rows_target(gt_shard, cfg, valid_h) if use_rows else None
+        )
 
         def cond(s: TrainState):
             return (s.it < cfg.iterations) & (~s.stop)
@@ -150,7 +170,6 @@ def fit_frame_sharded(
             return step(s, gt_shard, rows_target)
 
         final = jax.lax.while_loop(cond, body, state)
-        row0 = jax.lax.axis_index("tile") * rows_per
         img_shard = render_frame(
             final.params, final.alive, cfg, tile_rows=(row0, rows_per)
         )
@@ -163,7 +182,7 @@ def fit_frame_sharded(
         out_specs=(P(), P("tile")),
         check_vma=False,
     )
-    final, img = fit(state, gt)
+    final, img = fit(state, _pad_gt_rows(gt, cfg, n_tile))
     return FitResult(state=final, image=img[: cfg.H])
 
 
@@ -178,13 +197,17 @@ def fit_compress_sharded(state, gt, cfg: FrameConfig, mesh: Mesh):
     from gsvc_tpu.models.compress import make_train_step_quantize
 
     n_tile = mesh.shape["tile"]
-    _check_shardable(cfg, n_tile)
+    rows_per = shard_rows_per(cfg, n_tile)
     shard = TileShard("tile", n_tile)
     step = make_train_step_quantize(cfg, shard=shard)
     use_rows = _use_rows_loss(cfg)
 
     def local_fit(state, gt_shard):
-        rows_target = make_rows_target(gt_shard, cfg) if use_rows else None
+        row0 = jax.lax.axis_index("tile") * rows_per
+        valid_h = shard_valid_h(cfg, shard, row0)
+        rows_target = (
+            make_rows_target(gt_shard, cfg, valid_h) if use_rows else None
+        )
 
         def body(s, _):
             return step(s, gt_shard, rows_target), None
@@ -201,7 +224,7 @@ def fit_compress_sharded(state, gt, cfg: FrameConfig, mesh: Mesh):
         out_specs=P(),
         check_vma=False,
     )
-    return fit(state, gt)
+    return fit(state, _pad_gt_rows(gt, cfg, n_tile))
 
 
 def replicate_to_mesh(mesh: Mesh, tree, spec=P()):

@@ -151,6 +151,25 @@ def main():
     print("=== compression train.txt ===")
     print(comp_log.read_text())
 
+    # decode PURELY from the written bitstream and score vs the original —
+    # proves the RD curve on decoded bytes, not encoder-side eval
+    # (python -m gsvc_tpu.decode; the reference cannot decode its streams)
+    from gsvc_tpu import decode as decode_cli
+
+    bs_dir = wd / "ck" / "models" / "synth1080" / crun / "bitstream"
+    dec_dir = wd / f"decoded_{args.num_points}"
+    t2 = time.time()
+    decode_cli.main([
+        "--bitstream", str(bs_dir),
+        "--height", "1080", "--width", "1920",
+        "--model_path", model_path,
+        "--k_frames", str(wd / "ck" / "result" / "synth1080" / "K_frames.txt"),
+        "-d", str(clip), "--out", str(dec_dir), "--no_png",
+    ])
+    print(f"decode done in {time.time()-t2:.0f}s")
+    print("=== decode.txt (from-bitstream reconstruction) ===")
+    print((dec_dir / "decode.txt").read_text())
+
 
 if __name__ == "__main__":
     main()

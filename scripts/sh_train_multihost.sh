@@ -26,6 +26,11 @@ DATASET="${1:?usage: sh_train_multihost.sh <dataset.yuv> [train args...]}"
 shift
 
 # SLURM fills these in; standalone users export GSVC_* directly.
+# GSVC_RUN_NONCE namespaces the filesystem barrier markers per run
+# (parallel/multihost.py); SLURM_JOB_ID is identical on every node of a
+# job, so it is the natural shared default. Standalone multi-process
+# users should export one shared GSVC_RUN_NONCE across their processes.
+export GSVC_RUN_NONCE="${GSVC_RUN_NONCE:-${SLURM_JOB_ID:-}}"
 export GSVC_NUM_PROCS="${GSVC_NUM_PROCS:-${SLURM_NTASKS:-1}}"
 export GSVC_PROC_ID="${GSVC_PROC_ID:-${SLURM_PROCID:-0}}"
 if [ -z "${GSVC_COORDINATOR:-}" ] && [ -n "${SLURM_JOB_NODELIST:-}" ]; then

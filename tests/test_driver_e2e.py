@@ -35,6 +35,36 @@ def _write_synth_yuv(path, W=48, H=32, F=3):
     return path
 
 
+def test_represent_driver_tile_shards_ragged_height(tmp_path):
+    """--tile_shards through the real driver at a NON-tile-divisible
+    height (88 = 5.5 tile rows; the 1920x1080 flagship shape,
+    miniaturized), on the virtual 8-device mesh."""
+    import jax
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    yuv = _write_synth_yuv(tmp_path / "synth_48x88.yuv", W=48, H=88, F=1)
+    ckpt = tmp_path / "ckpt"
+    argv = [
+        "-d", str(yuv), "--data_name", "synthrag",
+        "--width", "48", "--height", "88", "--image_length", "1",
+        "--num_points", "40", "--iterations", "12",
+        "--kdetect_points", "30", "--kdetect_iterations", "5",
+        "--is_rm", "--backend", "binned",
+        "--tile_shards", "4",
+        "--checkpoint_dir", str(ckpt),
+        "--savdir", "result", "--savdir_m", "models",
+    ]
+    represent_driver.main(argv)
+    run = "GaussianVideo_12_40"
+    out_dir = ckpt / "result" / "synthrag" / run
+    assert (out_dir / "train.txt").exists()
+    txt = (out_dir / "train.txt").read_text()
+    assert "PSNR" in txt
+    state = np.load(ckpt / "models" / "synthrag" / run / "gmodels_state_dict.npz")
+    assert "frame_1/_xyz" in state
+
+
 def test_represent_then_compress_e2e(tmp_path):
     yuv = _write_synth_yuv(tmp_path / "synth_48x32.yuv")
     ckpt = tmp_path / "ckpt"
@@ -99,3 +129,25 @@ def test_represent_then_compress_e2e(tmp_path):
     img = np.asarray(render_decoded(means, chol, colors, cfg))
     assert img.shape == (32, 48, 3)
     assert np.isfinite(img).all() and img.std() > 0.01
+
+    # decoder CLI: whole bitstream dir (K + P frames) -> frames + report
+    from gsvc_tpu import decode as decode_cli
+
+    dec_out = tmp_path / "decoded"
+    rc = decode_cli.main([
+        "--bitstream", str(bs), "--height", "32", "--width", "48",
+        "--model_path", str(ckpt_file),
+        "--k_frames", str(ckpt / "result" / "synth" / "K_frames.txt"),
+        "-d", str(yuv), "--out", str(dec_out),
+    ])
+    assert rc == 0
+    assert (dec_out / "decoded.rgb").stat().st_size == 3 * 32 * 48 * 3
+    report = (dec_out / "decode.txt").read_text()
+    assert "PSNR:" in report and "Frame_3" in report
+    assert (dec_out / "frame_1.png").exists()
+    # P-frames without side info must fail loudly, not decode garbage
+    with pytest.raises(SystemExit):
+        decode_cli.main([
+            "--bitstream", str(bs), "--height", "32", "--width", "48",
+            "--out", str(tmp_path / "d2"),
+        ])

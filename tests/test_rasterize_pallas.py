@@ -246,17 +246,22 @@ def test_chw_layout_gradients_match_image():
         )
 
 
-def test_fast_grad_reduction_matches_segment_sum():
+@pytest.mark.parametrize("cap", [256, 24])
+def test_fast_grad_reduction_matches_segment_sum(cap):
     """The sort+segmented-scan gradient reduction (active when binning
     provides raw sorted keys) must equal the segment_sum path exactly-ish.
 
-    Exercises the full fast path: raw-id pack with opacity cap-masking,
-    elementwise slot recovery, the two-u32-sort permutation inverse, and
-    the Pallas segmented cumsum — with a tiny cap so beyond-cap lanes are
-    present.
+    Exercises the full fast path: capped-id pack, elementwise slot
+    recovery, the two-u32-sort permutation inverse, and the Pallas
+    segmented cumsum. cap=24 forces beyond-cap lanes (200 splats over a
+    48x64 canvas routinely exceed 24 per tile) — the regression guard for
+    the capped-lane slot-collision bug: a beyond-cap lane's raw key says
+    g < n but its packed rows 12-13 are zero, so slot recovery must route
+    it to the sentinel slot, not gss=0 + j.
     """
     import gsvc_tpu.ops.binning as binning
     import gsvc_tpu.ops.fill_pallas as fp
+    import gsvc_tpu.ops.rasterize as rz
 
     H, W = 48, 64
     m, l, c, o = _scene(200, seed=13)
@@ -266,6 +271,8 @@ def test_fast_grad_reduction_matches_segment_sum():
     def grads(pallas_fill):
         binning.PALLAS_FILL = pallas_fill
         fp.INTERPRET = True
+        old_cap = rz.TILE_CAP
+        rz.TILE_CAP = cap
         try:
             def g(m, l, c, o):
                 xys, d, radii, conics, nth = project_gaussians_2d(
@@ -280,6 +287,7 @@ def test_fast_grad_reduction_matches_segment_sum():
         finally:
             binning.PALLAS_FILL = None
             fp.INTERPRET = False
+            rz.TILE_CAP = old_cap
 
     g_fast = grads(True)   # sorted_keys present -> fast reduction
     g_slow = grads(False)  # XLA binning path -> segment_sum reduction

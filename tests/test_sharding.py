@@ -144,6 +144,68 @@ def test_fit_frame_sharded_matches_fit_frame():
     )
 
 
+def test_sharded_step_ragged_height_matches():
+    """Ragged-height sharding (the 1920x1080 case, miniaturized): H=88 has
+    5.5 tile rows -> a 6-row grid that 4 shards cover as ceil(6/4)=2 rows
+    each, so the last device's span [6, 8) lies ENTIRELY past the real
+    grid and the third device's span contains the partial row. gt is
+    zero-padded to 128 rows and the loss masks rows >= 88; the result must
+    match the unsharded step at the true resolution."""
+    mesh = shard_frames_mesh(2, 4)
+    H, W = 88, 48
+    cfg, states, gt = _setup(2, H, W)
+    step = make_sharded_train_step(mesh, cfg)
+    out_sh = step(states, gt)
+    out_ref = _single_device_step(cfg, states, gt)
+    _assert_states_close(out_sh, out_ref)
+    np.testing.assert_allclose(
+        np.asarray(out_sh.psnr), np.asarray(out_ref.psnr), rtol=1e-4
+    )
+
+
+def test_fit_frame_sharded_ragged_height():
+    """Whole-frame sharded fit at a non-tile-divisible height (H=88 over
+    3 shards: 6 tile rows -> 2 rows/shard, last row partial) — state AND
+    assembled image match the single-device fit_frame."""
+    mesh = tile_mesh(3)
+    H, W = 88, 48
+    cfg = FrameConfig(
+        H=H, W=W, num_points=48, max_num_points=48, iterations=6,
+        backend="binned", isremoval=True, densification_interval=3,
+    )
+    gt = jnp.asarray(
+        np.random.default_rng(13).uniform(0, 1, (H, W, 3)), jnp.float32
+    )
+    state = init_train_state(jax.random.key(17), cfg)
+    res_sh = fit_frame_sharded(state, gt, cfg, mesh)
+    res_ref = fit_frame(state, gt, cfg)
+    _assert_states_close(res_sh.state, res_ref.state, atol=2e-3)
+    assert res_sh.image.shape == (H, W, 3)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.image), np.asarray(res_ref.image),
+        rtol=0, atol=5e-3,
+    )
+
+
+def test_sharded_step_ragged_height_pallas():
+    """Ragged-height sharding through the PALLAS kernels (interpret mode):
+    exercises the kernel-side row clamp + edge-padded row_lane_start for
+    spans past the real grid."""
+    import gsvc_tpu.ops.rasterize_pallas as rp
+
+    rp.INTERPRET = True
+    try:
+        cfg, states, gt = _setup(2, H=88, W=48)
+        cfg = dataclasses.replace(cfg, backend="pallas")
+        mesh = shard_frames_mesh(2, 4, jax.devices())
+        step = make_sharded_train_step(mesh, cfg)
+        out_sh = step(states, gt)
+        out_ref = _single_device_step(cfg, states, gt)
+        _assert_states_close(out_sh, out_ref)
+    finally:
+        rp.INTERPRET = False
+
+
 def test_sharded_step_matches_single_device_pallas():
     """Tile-sharded training with the PALLAS backend (interpret mode):
     regression test for the uninitialized-vdata bug — per-shard backward
