@@ -35,9 +35,13 @@ def main():
     ap.add_argument("--train-iters", type=int, default=50)
     ap.add_argument("--backend", type=str, default="pallas")
     ap.add_argument(
-        "--budget-slack", type=float, default=1.25,
+        "--budget-slack", type=float, default=1.05,
         help="intersection-budget headroom over the measured count "
-             "(0 = use the static default_max_intersects heuristic)",
+             "(0 = use the static default_max_intersects heuristic). The "
+             "bench scene is static, so the measured count is exact and "
+             "slack only covers the 8192-bucket rounding; every S-sized "
+             "stage (pack gather, sorts, scans) scales with it — 1.25 "
+             "cost ~0.08 ms/frame at 1080p/10k vs 1.05.",
     )
     ap.add_argument(
         "--color-bf16", action="store_true",

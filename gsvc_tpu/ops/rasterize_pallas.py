@@ -79,11 +79,18 @@ DATA_ROWS = 16  # packed rows: x y c1 c2 c3 opac r g b ox oy tile (4 pad)
 # and runs the color/grad matmuls at 3*WINDOW_TILES rows instead of
 # 3*tb_x (360 at 1080p), falling back to the full-width path for the rare
 # sparse chunk that spans more. 3*WINDOW_TILES must be a multiple of 8
-# (sublane-aligned dynamic output slices).
-WINDOW_TILES = 40
+# (sublane-aligned dynamic output slices). 32 measured best at 1080p/10k
+# (vs 40: +10 fps eval; 24 loses — too many full-width fallbacks).
+WINDOW_TILES = 32
 
 # Run kernels in the Pallas interpreter (for CPU tests). Toggled by tests.
 INTERPRET = False
+
+# Profiling-only hook (scripts/profile_kernel_variants.py): replace the CHW
+# kernel's planar epilogue to isolate its cost. "none" skips the output
+# store entirely, "raw" stores a trivial acc-dependent block (real store
+# traffic, no relayout). NEVER set in production — output is garbage.
+EPILOGUE_MODE = None
 
 
 def _zero_cotangent(x):
@@ -125,7 +132,11 @@ def _pack_lanes(
     Rows: 0:x 1:y 2:c1 3:c2 4:c3 5:opac 6:r 7:g 8:b 9:ox 10:oy 11:tile
     12:bbox_pack 13:gauss_slot_start (rows 12-13 are exact small ints in
     f32; the backward's gradient reduction uses them to recover each lane's
-    expansion slot elementwise — see _reduce_lane_grads).
+    expansion slot elementwise — see _reduce_lane_grads. They ride the
+    same gather because TPU gather cost is WIDTH-INDEPENDENT at these
+    shapes — [2,S], [9,S] and [11,S] gathers all profile at 0.136 ms; a
+    separate backward-side gather would add a full 0.136, and a slimmer
+    forward gather saves nothing).
 
     Layout discipline (measured on v5e at S=178k): the whole pack is built
     PARAM-major — one [11, N+1] x [S]-index gather along the minor axis,
@@ -272,6 +283,32 @@ def _bf16_split3(x):
     mid = r.astype(jnp.bfloat16)
     lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
+
+
+def _eye_f32(n):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (ii == jj).astype(jnp.float32)
+
+
+def _mxu_transpose(x):
+    """[r, c] -> [c, r] on the MXU: contract x's ROW axis with an f32
+    identity. BIT-EXACT (every output element is 1.0*x + 0.0*rest — exact
+    under any MXU pass scheme; validated maxerr 0 on v5e,
+    scripts/probe_mxu_transpose.py). Replaces Mosaic's VPU transpose,
+    which costs ~0.08 ms per [360, 256] block at 1080p while the MXU sits
+    idle. Mosaic accepts transposed-contraction matmuls only with f32
+    operands ("Bad lhs type" for bf16), which is exactly what exactness
+    wants anyway."""
+    return _dot(x, _eye_f32(x.shape[0]), ((0,), (0,)))
+
+
+def _mxu_transpose_minor(x3d):
+    """[b, m, n] -> [b, n, m] on the MXU (batched minor-dims transpose):
+    contract the MIDDLE axis with an f32 identity. Bit-exact (see
+    _mxu_transpose). Replaces the minor-16 VPU transpose of the CHW
+    epilogue."""
+    return _dot(x3d, _eye_f32(x3d.shape[1]), ((1,), (0,)))
 
 
 def _dot_exact_a(a_bf16, b, dims):
@@ -545,6 +582,12 @@ def _forward_kernel_chw(
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
+    if EPILOGUE_MODE == "none":  # profiling only: no output store
+        return
+    if EPILOGUE_MODE == "raw":  # profiling only: store without relayout
+        s0 = acc[0:1, 0:1]
+        out_ref[...] = s0[0, 0] + jnp.zeros(out_ref.shape, jnp.float32)
+        return
     # epilogue: c-major rows -> (c, py, t, px). Only sublane-safe reshapes
     # plus two Mosaic 2D/3D transposes (validated exact on-chip).
     av = acc[...]
@@ -554,11 +597,24 @@ def _forward_kernel_chw(
         X = jnp.concatenate(
             [av[ch * cs : ch * cs + tb_x, :] for ch in range(3)], axis=0
         )  # [3*tb_x, pix]
-    T = X.T  # [pix, 3*tb_x] rows (py, px)
-    T3 = T.reshape(block_h, block_w, 3 * tb_x)
-    T4 = jnp.transpose(T3, (0, 2, 1))  # [py, (c, t), px]
-    T5 = T4.reshape(block_h, 3, tb_x, block_w)
-    P = jnp.transpose(T5, (1, 0, 2, 3))  # [3, py, t, px]
+    if EPILOGUE_MODE == "mxu":
+        # MXU identity-contraction transposes: bit-exact but MEASURED
+        # SLOWER (1.48 vs 1.13 ms/frame at 1080p) — Mosaic only accepts
+        # transposed-contraction matmuls with f32 operands, whose
+        # multi-pass MXU emulation costs more than the VPU shuffle it
+        # replaces; the bf16 form that would be fast is rejected ("Bad
+        # lhs type", scripts/probe_mxu_transpose.py). Kept for evidence.
+        T = _mxu_transpose(X)
+        T3 = T.reshape(block_h, block_w, 3 * tb_x)
+        T4 = _mxu_transpose_minor(T3)
+        T5 = T4.reshape(block_h, 3, tb_x, block_w)
+        P = jnp.transpose(T5, (1, 0, 2, 3))
+    else:
+        T = X.T  # [pix, 3*tb_x] rows (py, px)
+        T3 = T.reshape(block_h, block_w, 3 * tb_x)
+        T4 = jnp.transpose(T3, (0, 2, 1))  # [py, (c, t), px]
+        T5 = T4.reshape(block_h, 3, tb_x, block_w)
+        P = jnp.transpose(T5, (1, 0, 2, 3))  # [3, py, t, px]
     if not aligned_out:
         out_ref[...] = P[:, None]
         return
@@ -1074,14 +1130,32 @@ def _reduce_lane_grads(vdata, binned, n, row0, num_rows, data=None, tb_x=None):
 
     vmask = jnp.where(span, 1.0, 0.0)
     # only rows 0-8 carry gradients (x y c1 c2 c3 opac r g b); dropping
-    # the 7 pad rows cuts the gather + segmented-scan traffic by 44%
-    vg = (vdata[:9] * vmask[None, :])[:, lane_of]  # [9, S] slot order
+    # the pad rows cuts the gather + segmented-scan traffic by 44%.
+    # Row 9 is the lane's raw gaussian id (exact in f32: id < 2^16),
+    # riding the SAME multi-row f32 gather — a standalone s32 g[lane_of]
+    # gather lowered to a serial emitter costing 0.71 ms at S=107k
+    # (xplane-profiled), 5x the whole 10-row vector gather.
+    gf = g.astype(jnp.float32).reshape(1, -1)
+    vg10 = jnp.concatenate(
+        [vdata[:9] * vmask[None, :], gf], axis=0
+    )[:, lane_of]  # [10, S] slot order
+    vg = vg10[:9]
 
     from gsvc_tpu.ops.fill_pallas import segmented_cumsum
 
     gss_all = binned.gauss_slot_start  # [N+1]
-    flags = (
-        jnp.zeros(s_cap, jnp.int32).at[gss_all[:-1]].max(1, mode="drop")
+    # Segment-start flags WITHOUT a scatter (an S-capacity scatter of N
+    # ones cost 0.089 ms at 10k splats, ~5x that at 50k): slot p's owning
+    # gaussian is row 9 of the gathered block — slots are gauss-major, so
+    # non-empty segments start exactly where the owner changes. Tail
+    # positions (sentinel lanes) are garbage but the per-gaussian totals
+    # are read at in-range `ends` only, as before.
+    g_slot = vg10[9]  # f32 gaussian id of slot p (exact)
+    flags = jnp.concatenate(
+        [
+            jnp.ones(1, jnp.int32),
+            (g_slot[1:] != g_slot[:-1]).astype(jnp.int32),
+        ]
     )
     seg = segmented_cumsum(vg, flags)  # [9, S] inclusive within segments
     ends = jnp.maximum(gss_all[1:] - 1, 0)  # [N]
