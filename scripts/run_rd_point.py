@@ -53,8 +53,10 @@ def _value_noise(rng, H, W, octaves=5, base=8):
 
 def make_clip(path: Path, W=1920, H=1080, F=5, seed=7):
     rng = np.random.default_rng(seed)
+    # pan margin must cover the full pan travel (8 px/frame)
+    margin = max(64, 8 * F + 8)
     bg = np.stack(
-        [_value_noise(rng, H, W + 64) for _ in range(3)], axis=-1
+        [_value_noise(rng, H, W + margin) for _ in range(3)], axis=-1
     )
     bg = 0.25 + 0.6 * bg
     tex = [_value_noise(rng, 256, 256, octaves=4, base=4) for _ in range(4)]
