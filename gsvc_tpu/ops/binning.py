@@ -129,16 +129,17 @@ def static_capacity(max_intersects: int, tile_bounds: Tuple[int, int, int]) -> i
     """Static lane capacity S of the sorted layout for a given budget.
 
     Row superblocks are LANE_ALIGN-aligned but the rasterizer DMAs
-    CHUNK-lane slices, so the LAST row's final chunk can overrun its row
-    end by up to CHUNK - LANE_ALIGN lanes; the capacity carries that
-    extra slack (plus CHUNK alignment) so no DMA ever reads out of
-    bounds. (Without the slack this faulted the TPU at operating points
-    where the row pads landed flush against the capacity, e.g. 20k
-    splats at the default budget.)"""
-    from gsvc_tpu.ops.rasterize_pallas import CHUNK
+    chunk-lane slices (up to MAX_CHUNK, picked per call by density), so
+    the LAST row's final chunk can overrun its row end by up to
+    MAX_CHUNK - LANE_ALIGN lanes; the capacity carries that extra slack
+    (plus MAX_CHUNK alignment) so no DMA ever reads out of bounds at any
+    selectable chunk size. (Without the slack this faulted the TPU at
+    operating points where the row pads landed flush against the
+    capacity, e.g. 20k splats at the default budget.)"""
+    from gsvc_tpu.ops.rasterize_pallas import MAX_CHUNK
 
     tb_y = int(tile_bounds[1])
-    align = max(LANE_ALIGN, CHUNK)
+    align = max(LANE_ALIGN, MAX_CHUNK)
     cap = max_intersects + (LANE_ALIGN - 1) * tb_y + (align - LANE_ALIGN)
     return ((cap + align - 1) // align) * align
 

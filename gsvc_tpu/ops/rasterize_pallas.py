@@ -67,11 +67,29 @@ from gsvc_tpu.ops.rasterize_dense import ALPHA_CUTOFF
 # belong to the next row, so the tile masks zero their contribution
 # (window path falls back to full width via the span check), their zeroed
 # backward lanes are rewritten by the next row's own sequential grid step,
-# and the static capacity is CHUNK-aligned so no DMA reads out of bounds.
-# 512 was tried and regressed 2x on the kernel: a 512-lane chunk spans
-# ~2x more tiles, so the 40-tile window fast path rarely triggers.
-CHUNK = 256
+# and the static capacity is MAX_CHUNK-aligned so no DMA reads out of
+# bounds. The chunk size is picked PER CALL by density (_pick_chunk):
+# at low densities a 512-lane chunk spans too many tiles for the
+# WINDOW_TILES fast path (measured 2x kernel regression at 10k/1080p);
+# at high densities (many lanes per tile) 512 halves the per-chunk loop
+# and DMA overheads while windows still hit.
+CHUNK = 256  # default / low-density chunk
+MAX_CHUNK = 512  # largest selectable chunk (binning capacity slack)
+# pick 512 when the average 512-lane chunk spans <= this many tiles
+DENSE_CHUNK_SPAN = 20
+# force a specific chunk size (profiling sweeps); None = auto
+FORCE_CHUNK = None
+
 DATA_ROWS = 16  # packed rows: x y c1 c2 c3 opac r g b ox oy tile (4 pad)
+
+
+def _pick_chunk(s_cap: int, num_tiles: int) -> int:
+    """Static per-call DMA chunk size from the average lane density."""
+    if FORCE_CHUNK is not None:
+        return int(FORCE_CHUNK)
+    if 512 * num_tiles <= s_cap * DENSE_CHUNK_SPAN:
+        return 512
+    return CHUNK
 
 # Dynamic tile window: chunk lanes are tile-sorted, so one chunk usually
 # spans far fewer tiles than the whole row (~20 at converged densities).
@@ -372,7 +390,7 @@ def _window_anchor(d, tile0, tb_x: int):
     columns inside the row; span_ok says every lane fits the window.
     Tile ids are exact in f32 (< 2^16)."""
     t_first = d[11, 0].astype(jnp.int32) - tile0
-    t_last = d[11, CHUNK - 1].astype(jnp.int32) - tile0
+    t_last = d[11, d.shape[1] - 1].astype(jnp.int32) - tile0
     anchor = jnp.clip(t_first & ~7, 0, tb_x - WINDOW_TILES)
     span_ok = t_last - anchor < WINDOW_TILES
     return anchor, span_ok
@@ -402,8 +420,8 @@ def _forward_kernel(
     row0_ref, rls_ref,  # scalar prefetch
     data_ref,  # [16, S] in ANY (HBM), manually chunk-DMA'd
     out_ref,  # [R_OUT, pix] VMEM block for this tile row
-    buf, sem,  # scratch: [2, 16, CHUNK] VMEM, DMA sems (2,)
-    *, tb_x: int, block_w: int, block_h: int,
+    buf, sem,  # scratch: [2, 16, chunk] VMEM, DMA sems (2,)
+    *, tb_x: int, block_w: int, block_h: int, chunk: int = CHUNK,
 ):
     s = pl.program_id(0)
     # clamp to the last rls interval: a partial tile-row shard of a
@@ -413,7 +431,7 @@ def _forward_kernel(
     # zero-width interval (0 chunks) and emit a zero block.
     r = jnp.minimum(row0_ref[0] + s, rls_ref.shape[0] - 2)
     base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
-    n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
+    n_chunks = (rls_ref[r + 1] - rls_ref[r] + chunk - 1) // chunk
     tile0 = r * tb_x
     A = _pixel_features(block_w, block_h)
     row_t, s0, s1, s2 = _row_selectors(out_ref.shape[0])
@@ -424,7 +442,7 @@ def _forward_kernel(
 
     def in_dma(slot, c):
         return pltpu.make_async_copy(
-            data_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            data_ref.at[:, pl.ds(base + c * chunk, chunk)],
             buf.at[slot],
             sem.at[slot],
         )
@@ -497,8 +515,9 @@ def _forward_kernel_chw(
     row0_ref, rls_ref,  # scalar prefetch
     data_ref,  # [16, S] in ANY (HBM), manually chunk-DMA'd
     out_ref,  # VMEM block: [3, bh, W/128, 128] (aligned) or [3,1,bh,tb_x,bw]
-    acc, buf, sem,  # scratch: [3*cs, pix] f32 acc, [2, 16, CHUNK], DMA sems
+    acc, buf, sem,  # scratch: [3*cs, pix] f32 acc, [2, 16, chunk], DMA sems
     *, tb_x: int, cs: int, block_w: int, block_h: int, aligned_out: bool,
+    chunk: int = CHUNK,
 ):
     """Forward kernel with a direct planar-CHW output.
 
@@ -518,7 +537,7 @@ def _forward_kernel_chw(
     # zero-width interval (0 chunks) and emit a zero block.
     r = jnp.minimum(row0_ref[0] + s, rls_ref.shape[0] - 2)
     base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
-    n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
+    n_chunks = (rls_ref[r + 1] - rls_ref[r] + chunk - 1) // chunk
     tile0 = r * tb_x
     A = _pixel_features(block_w, block_h)
     row_t, s0, s1, s2 = _row_selectors_cmajor(3 * cs, cs)
@@ -526,7 +545,7 @@ def _forward_kernel_chw(
 
     def in_dma(slot, c):
         return pltpu.make_async_copy(
-            data_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            data_ref.at[:, pl.ds(base + c * chunk, chunk)],
             buf.at[slot],
             sem.at[slot],
         )
@@ -637,7 +656,7 @@ def _backward_kernel(
     vout_ref,  # [R_OUT, pix] VMEM block: this tile row's image gradient
     vdata_ref,  # [16, S] ANY output, chunk-DMA'd back
     buf, vbuf, sem_in, sem_out,
-    *, tb_x: int, block_w: int, block_h: int,
+    *, tb_x: int, block_w: int, block_h: int, chunk: int = CHUNK,
 ):
     s = pl.program_id(0)
     # clamp to the last rls interval: a partial tile-row shard of a
@@ -647,7 +666,7 @@ def _backward_kernel(
     # zero-width interval (0 chunks) and emit a zero block.
     r = jnp.minimum(row0_ref[0] + s, rls_ref.shape[0] - 2)
     base = pl.multiple_of(rls_ref[r], LANE_ALIGN)
-    n_chunks = (rls_ref[r + 1] - rls_ref[r] + CHUNK - 1) // CHUNK
+    n_chunks = (rls_ref[r + 1] - rls_ref[r] + chunk - 1) // chunk
     tile0 = r * tb_x
     A = _pixel_features(block_w, block_h)
     row_t, s0, s1, s2 = _row_selectors(vout_ref.shape[0])
@@ -659,7 +678,7 @@ def _backward_kernel(
 
     def in_dma(slot, c):
         return pltpu.make_async_copy(
-            data_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            data_ref.at[:, pl.ds(base + c * chunk, chunk)],
             buf.at[slot],
             sem_in.at[slot],
         )
@@ -667,7 +686,7 @@ def _backward_kernel(
     def out_dma(slot, c):
         return pltpu.make_async_copy(
             vbuf.at[slot],
-            vdata_ref.at[:, pl.ds(base + c * CHUNK, CHUNK)],
+            vdata_ref.at[:, pl.ds(base + c * chunk, chunk)],
             sem_out.at[slot],
         )
 
@@ -719,7 +738,7 @@ def _backward_kernel(
             v_r = jnp.sum(M * sx0, axis=0, keepdims=True)
             v_g = jnp.sum(M * sx1, axis=0, keepdims=True)
             v_b = jnp.sum(M * sx2, axis=0, keepdims=True)
-            pad = jnp.zeros((DATA_ROWS - 9, CHUNK), jnp.float32)
+            pad = jnp.zeros((DATA_ROWS - 9, chunk), jnp.float32)
             vbuf[slot] = jnp.concatenate(
                 [v_x, v_y, v_c1, v_c2, v_c3, v_opac, v_r, v_g, v_b, pad],
                 axis=0,
@@ -883,6 +902,9 @@ def _forward_impl(
     partial_shard = num_rows != int(tile_bounds[1])
     out_h = num_rows * block_h if partial_shard else img_height
     rls = _rls_for_span(binned.row_lane_start, partial_shard)
+    chunk = _pick_chunk(
+        data.shape[1], tb_x * int(tile_bounds[1])
+    )
 
     if layout == "chw":
         # direct planar output from the kernel — no XLA untile transpose
@@ -891,6 +913,7 @@ def _forward_impl(
         kernel = functools.partial(
             _forward_kernel_chw, tb_x=tb_x, cs=cs,
             block_w=block_w, block_h=block_h, aligned_out=aligned,
+            chunk=chunk,
         )
         if aligned:
             # full-128-lane minor dim: the downstream reshape to [3,H,W]
@@ -920,7 +943,7 @@ def _forward_impl(
             out_specs=out_spec,
             scratch_shapes=[
                 pltpu.VMEM((3 * cs, pix), jnp.float32),
-                pltpu.VMEM((2, DATA_ROWS, CHUNK), jnp.float32),
+                pltpu.VMEM((2, DATA_ROWS, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
@@ -936,7 +959,8 @@ def _forward_impl(
         return img, data
 
     kernel = functools.partial(
-        _forward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h
+        _forward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h,
+        chunk=chunk,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -946,7 +970,7 @@ def _forward_impl(
             (r_out, pix), lambda s, r0, rls: (s, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, DATA_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, DATA_ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -994,8 +1018,10 @@ def _rasterize_bwd(
     else:
         vrows = _image_to_vrows(g, num_rows, r_out, tb_x, block_w, block_h)
 
+    chunk = _pick_chunk(data.shape[1], tb_x * int(tile_bounds[1]))
     kernel = functools.partial(
-        _backward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h
+        _backward_kernel, tb_x=tb_x, block_w=block_w, block_h=block_h,
+        chunk=chunk,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1009,8 +1035,8 @@ def _rasterize_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, DATA_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, DATA_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, DATA_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, DATA_ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
