@@ -116,21 +116,50 @@ def main(argv=None) -> int:
     psnrs, msims = [], []
     raw_path = out_dir / "decoded.rgb"
     t_start = time.time()
+
+    # Pass 1: decode every frame's params, then size ONE static
+    # intersection budget from the measured maximum. The default
+    # heuristic budget (16x splats) is NOT safe for converged models —
+    # e.g. a 9k-splat 1080p fit measures 161k intersections vs the 144k
+    # default, and binning drops whole splats on overflow (a silent
+    # ~25 dB decode loss when this sizing was missing).
+    import jax
+    import jax.numpy as jnp
+
+    from gsvc_tpu.ops.projection import project_gaussians_2d
+
+    decoded = []
+    for frame_num, path in frames:
+        blob = path.read_bytes()
+        if frame_num in k_frames or gmodels is None:
+            p_xyz = p_chol = p_feat = None
+        else:
+            pg = gmodels[f"frame_{frame_num - 1}"]
+            p_xyz, p_chol, p_feat = (
+                pg["_xyz"], pg["_cholesky"], pg["_features_dc"]
+            )
+        decoded.append(
+            (frame_num, len(blob)) + decode_frame(blob, p_xyz, p_chol, p_feat)
+        )
+
+    tb = ((args.width + 15) // 16, (args.height + 15) // 16, 1)
+    count = jax.jit(
+        lambda m, c: jnp.sum(
+            project_gaussians_2d(m, c, args.height, args.width, tb)[4]
+        )
+    )
+    n_isect = max(
+        int(np.asarray(count(jnp.asarray(m), jnp.asarray(ch))))
+        for _, _, m, ch, _ in decoded
+    )
+    budget = int(np.ceil(n_isect * 1.1 / 8192)) * 8192
+
     with open(raw_path, "wb") as raw:
-        for frame_num, path in frames:
-            blob = path.read_bytes()
-            if frame_num in k_frames or gmodels is None:
-                p_xyz = p_chol = p_feat = None
-            else:
-                pg = gmodels[f"frame_{frame_num - 1}"]
-                p_xyz, p_chol, p_feat = (
-                    pg["_xyz"], pg["_cholesky"], pg["_features_dc"]
-                )
-            means, chol, colors = decode_frame(blob, p_xyz, p_chol, p_feat)
+        for frame_num, nbytes, means, chol, colors in decoded:
             cfg = FrameConfig(
                 H=args.height, W=args.width, num_points=means.shape[0],
                 max_num_points=means.shape[0], iterations=1,
-                backend=args.backend,
+                backend=args.backend, max_intersects=budget,
             )
             img = np.asarray(render_decoded(means, chol, colors, cfg))
             img8 = (np.clip(img, 0.0, 1.0) * 255.0).round().astype(np.uint8)
@@ -140,7 +169,7 @@ def main(argv=None) -> int:
 
             line = (
                 f"Frame_{frame_num}: {args.height}x{args.width}, "
-                f"n={means.shape[0]}, bytes={len(blob)}"
+                f"n={means.shape[0]}, bytes={nbytes}"
             )
             if gt_frames is not None and frame_num <= len(gt_frames):
                 gt = gt_frames[frame_num - 1].astype(np.float32) / 255.0

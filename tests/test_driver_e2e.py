@@ -145,6 +145,24 @@ def test_represent_then_compress_e2e(tmp_path):
     report = (dec_out / "decode.txt").read_text()
     assert "PSNR:" in report and "Frame_3" in report
     assert (dec_out / "frame_1.png").exists()
+    # decoded-from-bytes PSNR must MATCH the encoder-side eval PSNR the
+    # compress driver reported (regression guard: an undersized decode
+    # intersection budget silently dropped splats for a ~25 dB loss)
+    import re as _re
+
+    enc_psnr = {
+        int(m.group(1)): float(m.group(2))
+        for m in _re.finditer(r"Frame_(\d+):.*?PSNR:([\d.]+)", ctext)
+    }
+    dec_psnr = {
+        int(m.group(1)): float(m.group(2))
+        for m in _re.finditer(r"Frame_(\d+):.*?PSNR:([\d.]+)", report)
+    }
+    assert set(dec_psnr) == set(enc_psnr)
+    for f in enc_psnr:
+        assert abs(dec_psnr[f] - enc_psnr[f]) < 0.1, (
+            f, dec_psnr[f], enc_psnr[f]
+        )
     # P-frames without side info must fail loudly, not decode garbage
     with pytest.raises(SystemExit):
         decode_cli.main([
