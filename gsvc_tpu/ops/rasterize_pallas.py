@@ -84,11 +84,18 @@ DATA_ROWS = 16  # packed rows: x y c1 c2 c3 opac r g b ox oy tile (4 pad)
 
 
 def _pick_chunk(s_cap: int, num_tiles: int) -> int:
-    """Static per-call DMA chunk size from the average lane density."""
+    """Static per-call DMA chunk size from the average lane density.
+
+    512 auto-selection is DISABLED: compiling any 512-lane-chunk kernel
+    hard-crashes the TPU toolchain's LLO lowering on v5e
+    ("lower_to_llo.cc:1093 Check failed: d >> 32 == 0 (-1 vs. 0)",
+    SIGABRT — reproduced with a minimal kernel on 2026-08-21). The
+    machinery (chunk kwargs, MAX_CHUNK capacity slack, FORCE_CHUNK)
+    stays so the lever is one line when the toolchain accepts it."""
     if FORCE_CHUNK is not None:
         return int(FORCE_CHUNK)
     if 512 * num_tiles <= s_cap * DENSE_CHUNK_SPAN:
-        return 512
+        return CHUNK  # would be 512 — see the LLO crash note above
     return CHUNK
 
 # Dynamic tile window: chunk lanes are tile-sorted, so one chunk usually
