@@ -20,6 +20,7 @@ same side info explicitly, documenting (not hiding) that accounting quirk.
 
 from __future__ import annotations
 
+import functools
 import io
 from typing import Optional
 
@@ -95,7 +96,24 @@ def encode_frame(state, cfg) -> bytes:
     put(np.asarray(i_comp))
     put(np.asarray(i_counts))
     put(np.asarray(i_unique))
+    # self-describing frame-type TRAILER (backward compatible: legacy
+    # parsers read exact lengths from the front and never see it): 'K' =
+    # standalone frame, 'P' = delta frame needing previous-frame side
+    # info. Lets the decoder detect a wrong/missing K-frame schedule
+    # instead of silently adding bogus side info.
+    is_delta = bool(np.any(np.asarray(state.p_xyz) != 0)) or bool(
+        np.any(np.asarray(state.p_cholesky) != 0)
+    ) or bool(np.any(np.asarray(state.p_features_dc) != 0))
+    out.write(b"GSV1" + (b"P" if is_delta else b"K"))
     return out.getvalue()
+
+
+def frame_type(blob: bytes) -> Optional[str]:
+    """'K' or 'P' from the self-describing trailer; None for legacy
+    streams written before the trailer existed."""
+    if len(blob) >= 5 and blob[-5:-1] == b"GSV1":
+        return chr(blob[-1])
+    return None
 
 
 def decode_frame(
@@ -163,8 +181,10 @@ def decode_frame(
     return means, chol, colors + p_feat
 
 
-def render_decoded(means, chol, colors, cfg):
-    """Render the decoded splats — the plain (quantizer-free) pipeline."""
+@functools.lru_cache(maxsize=8)
+def _render_fn(cfg):
+    """One jitted render per FrameConfig (lru-cached): a fresh jit per
+    call would retrace every frame of a decode run."""
     import jax
     import jax.numpy as jnp
 
@@ -185,6 +205,13 @@ def render_decoded(means, chol, colors, cfg):
         )
         return jnp.clip(img, 0.0, 1.0)
 
-    return go(
+    return go
+
+
+def render_decoded(means, chol, colors, cfg):
+    """Render the decoded splats — the plain (quantizer-free) pipeline."""
+    import jax.numpy as jnp
+
+    return _render_fn(cfg)(
         jnp.asarray(means), jnp.asarray(chol), jnp.asarray(colors)
     )

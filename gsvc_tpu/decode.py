@@ -26,7 +26,6 @@ per-frame PSNR / MS-SSIM against `--dataset` when given.
 from __future__ import annotations
 
 import argparse
-import math
 import re
 import sys
 import time
@@ -128,10 +127,22 @@ def main(argv=None) -> int:
 
     from gsvc_tpu.ops.projection import project_gaussians_2d
 
+    from gsvc_tpu.compress.bitstream import frame_type
+
     decoded = []
     for frame_num, path in frames:
         blob = path.read_bytes()
-        if frame_num in k_frames or gmodels is None:
+        schedule_k = frame_num in k_frames
+        ftype = frame_type(blob)  # self-describing trailer; None = legacy
+        if ftype is not None and ftype != ("K" if schedule_k else "P"):
+            raise SystemExit(
+                f"frame {frame_num}: bitstream says type {ftype} but the "
+                f"K-frame schedule says {'K' if schedule_k else 'P'} — "
+                "wrong or stale --k_frames? Decoding with mismatched "
+                "side info would silently produce a corrupt frame."
+            )
+        is_k = schedule_k if ftype is None else (ftype == "K")
+        if is_k or gmodels is None:
             p_xyz = p_chol = p_feat = None
         else:
             pg = gmodels[f"frame_{frame_num - 1}"]
@@ -172,9 +183,10 @@ def main(argv=None) -> int:
                 f"n={means.shape[0]}, bytes={nbytes}"
             )
             if gt_frames is not None and frame_num <= len(gt_frames):
+                from gsvc_tpu.utils.metrics import psnr as psnr_fn
+
                 gt = gt_frames[frame_num - 1].astype(np.float32) / 255.0
-                mse = float(np.mean((img - gt) ** 2))
-                ps = 10 * math.log10(1.0 / max(mse, 1e-20))
+                ps = float(psnr_fn(jnp.asarray(img), jnp.asarray(gt)))
                 psnrs.append(ps)
                 line += f", PSNR:{ps:.4f}"
                 try:

@@ -275,7 +275,7 @@ def shard_rows_per(cfg: FrameConfig, num_shards: int) -> int:
     num_shards doesn't divide the grid's row count (e.g. 68 rows at
     1920x1080 over 8 chips), the last device's span extends past the real
     grid — the rasterizer renders those rows empty and the loss masks
-    them (see make_rows_target / _shard_row_mask)."""
+    them (see make_rows_target / shard_valid_h)."""
     tb_y = cfg.tile_bounds[1]
     if num_shards > tb_y:
         raise ValueError(

@@ -151,6 +151,21 @@ def barrier(tag: str, out_dir: Path, num_hosts: int, host_id: int,
         return
     out_dir.mkdir(parents=True, exist_ok=True)
     nonce = _run_nonce()
+    if not nonce and num_hosts > 1:
+        # Without a shared nonce, stale markers from a previous run in the
+        # same out_dir are indistinguishable from a peer that legitimately
+        # finished earlier THIS run (sequential host execution is
+        # supported), so rerun protection is only best-effort
+        # (clear_stale_markers at each host's startup). Warn once.
+        import warnings
+
+        warnings.warn(
+            "multihost file barrier without GSVC_RUN_NONCE/SLURM_JOB_ID: "
+            "reusing an out_dir across runs can rendezvous on a previous "
+            "run's markers if a peer launches late. Export a shared "
+            "GSVC_RUN_NONCE (the launcher script does this under SLURM).",
+            stacklevel=2,
+        )
     stem = f".barrier_{tag}.{nonce}" if nonce else f".barrier_{tag}"
     (out_dir / f"{stem}.host{host_id}").write_text("ok")
     if wait_for is None:

@@ -251,13 +251,15 @@ def test_fast_grad_reduction_matches_segment_sum(cap):
     """The sort+segmented-scan gradient reduction (active when binning
     provides raw sorted keys) must equal the segment_sum path exactly-ish.
 
-    Exercises the full fast path: capped-id pack, elementwise slot
-    recovery, the two-u32-sort permutation inverse, and the Pallas
-    segmented cumsum. cap=24 forces beyond-cap lanes (200 splats over a
-    48x64 canvas routinely exceed 24 per tile) — the regression guard for
-    the capped-lane slot-collision bug: a beyond-cap lane's raw key says
-    g < n but its packed rows 12-13 are zero, so slot recovery must route
-    it to the sentinel slot, not gss=0 + j.
+    Exercises the full fast path: RAW-id pack with opacity cap-masking,
+    elementwise slot recovery, the two-u32-sort permutation inverse, and
+    the Pallas segmented cumsum. cap=24 forces beyond-cap lanes (200
+    splats over a 48x64 canvas routinely exceed 24 per tile) — the
+    regression guard for the capped-lane slot-collision bug: beyond-cap
+    lanes must occupy their REAL expansion slot (with exactly-zero grads
+    via the zeroed opacity) so real slots stay unique AND dense; a
+    capped-id pack zeroed their rows 12-13 and routed them to colliding
+    in-range slots, corrupting per-splat gradients broadly.
     """
     import gsvc_tpu.ops.binning as binning
     import gsvc_tpu.ops.fill_pallas as fp
