@@ -635,6 +635,14 @@ def _forward_kernel_chw(
         T4 = _mxu_transpose_minor(T3)
         T5 = T4.reshape(block_h, 3, tb_x, block_w)
         P = jnp.transpose(T5, (1, 0, 2, 3))
+    elif EPILOGUE_MODE == "hybrid":
+        # VPU big transpose + MXU minor-16 transpose (the minor one is
+        # the worse VPU op; its identity-matmul form is only ~1.5M MACs)
+        T = X.T
+        T3 = T.reshape(block_h, block_w, 3 * tb_x)
+        T4 = _mxu_transpose_minor(T3)
+        T5 = T4.reshape(block_h, 3, tb_x, block_w)
+        P = jnp.transpose(T5, (1, 0, 2, 3))
     else:
         T = X.T  # [pix, 3*tb_x] rows (py, px)
         T3 = T.reshape(block_h, block_w, 3 * tb_x)

@@ -93,7 +93,7 @@ def run_host(yuv, ckpt, frames, iters, n_pts, host, nprocs, port, core):
 
 
 def main():
-    frames, iters, n_pts = 8, 400, 128
+    frames, iters, n_pts = 8, 1200, 128
     work = Path("/tmp/mh_scaling")
     work.mkdir(exist_ok=True)
     yuv = work / "clip.yuv"

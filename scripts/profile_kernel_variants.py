@@ -99,14 +99,12 @@ def main():
     base = (rp.WINDOW_TILES, rp.CHUNK, rp.EPILOGUE_MODE)
     try:
         if sweep == "epi":
-            run("base(mxu-epi)")
-            for mode in ("vpu", "raw"):
+            run("base(vpu)")
+            for mode in ("hybrid", "mxu", "raw"):
                 rp.EPILOGUE_MODE = mode
                 run(f"epi={mode}")
             rp.EPILOGUE_MODE = None
-            for wt in (32, 40):
-                rp.WINDOW_TILES = wt
-                run(f"wt={wt},mxu-epi")
+            run("base(vpu) again")
             return
         if sweep == "eval2":
             # drift-controlled WT A/B (alternate) + budget-slack variant +
