@@ -3,8 +3,9 @@
 # alongside PSNR/MS-SSIM; like the reference, VMAF comes from an external
 # host tool, not the training code).
 #
-# Usage: scripts/compute_vmaf.sh <distorted.(mp4|yuv)> <reference.(mp4|yuv)> [W H]
-# Raw .yuv inputs are assumed I420; pass W H for them.
+# Usage: scripts/compute_vmaf.sh <distorted.(mp4|yuv|rgb)> <reference.(mp4|yuv|rgb)> [W H]
+# Raw .yuv inputs are assumed I420; .rgb inputs are raw RGB24 (what
+# `python -m gsvc_tpu.decode` writes as decoded.rgb). Pass W H for raws.
 set -euo pipefail
 if ! command -v ffmpeg >/dev/null 2>&1; then
     echo "ffmpeg (with libvmaf) not found — install it on the eval host." >&2
@@ -14,6 +15,7 @@ DIST=$1; REF=$2; W=${3:-1920}; H=${4:-1080}
 in_args() {
     case "$1" in
         *.yuv) echo "-f rawvideo -pix_fmt yuv420p -s ${W}x${H} -i $1" ;;
+        *.rgb) echo "-f rawvideo -pix_fmt rgb24 -s ${W}x${H} -i $1" ;;
         *) echo "-i $1" ;;
     esac
 }
