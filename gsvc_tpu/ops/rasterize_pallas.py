@@ -277,11 +277,13 @@ def _splat_features(d):
 SPLIT_MM = True
 
 # Fast color mode: single bf16 products for the color/grad matmuls
-# (k=CHUNK instead of 3*CHUNK), ~2e-3 absolute output delta — the same
-# class of tradeoff as the reference's --use_fast_math build
-# (gsplat/setup.py:76). Off by default (the f32-split path is what the
-# parity tests pin); enable for throughput-first serving via
-# `bench.py --color-bf16` or by setting this flag before tracing.
+# (k=CHUNK instead of 3*CHUNK) AND a bf16 CHW relayout epilogue —
+# max ~6.5e-3 absolute output delta (1.65 of 255 levels; validated
+# on-chip at 1080p/10k), the same class of tradeoff as the reference's
+# --use_fast_math build (gsplat/setup.py:76). Off by default (the
+# f32-split path is what the parity tests pin); enable for
+# throughput-first serving via `bench.py --color-bf16` or by setting
+# this flag before tracing.
 COLOR_BF16 = False
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -644,11 +646,17 @@ def _forward_kernel_chw(
         T5 = T4.reshape(block_h, 3, tb_x, block_w)
         P = jnp.transpose(T5, (1, 0, 2, 3))
     else:
+        if COLOR_BF16:
+            # fast mode: relayout in bf16 — half the vreg traffic through
+            # the two transposes, ~2^-9 absolute rounding on clipped [0,1]
+            # outputs (the same precision class as the mode's single-pass
+            # color matmuls); stores cast back to the f32 output.
+            X = X.astype(jnp.bfloat16)
         T = X.T  # [pix, 3*tb_x] rows (py, px)
         T3 = T.reshape(block_h, block_w, 3 * tb_x)
         T4 = jnp.transpose(T3, (0, 2, 1))  # [py, (c, t), px]
         T5 = T4.reshape(block_h, 3, tb_x, block_w)
-        P = jnp.transpose(T5, (1, 0, 2, 3))  # [3, py, t, px]
+        P = jnp.transpose(T5, (1, 0, 2, 3)).astype(jnp.float32)
     if not aligned_out:
         out_ref[...] = P[:, None]
         return
